@@ -1,0 +1,288 @@
+"""Block-tridiagonal linear algebra.
+
+TPU-native replacement for the reference's ``markovflow/block_tri_diag.py``
+(592 LoC) + the C++ ``banded_matrices`` TF ops it wraps
+(reference: markovflow/block_tri_diag.py:22-31).  Storage is *block-first*
+instead of band-first: a symmetric block-tridiagonal matrix over ``N`` states
+of dim ``d`` is ``(diag [..., N, d, d], lower [..., N-1, d, d])`` where
+``lower[k]`` is block ``(k+1, k)``.  This keeps every op a batched small-matrix
+op with the time axis on TPU lanes; the sequential recursions (Cholesky, solve,
+sparse inverse) are ``lax.scan`` reference implementations — the inference
+engines avoid them entirely via associative-scan formulations in
+:mod:`markovflow_tpu.ops`.
+
+Gradients: everything here is built from differentiable jnp/lax ops, so JAX
+autodiff replaces the C++ library's hand-written gradients.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .utils.linalg import symmetrize, tlt
+
+__all__ = ["SymmetricBlockTriDiagonal", "LowerTriangularBlockTriDiagonal"]
+
+
+def _move_time_front(x, batch_ndim):
+    """[batch..., N, d, *] -> [N, batch..., d, *] for lax.scan."""
+    return jnp.moveaxis(x, batch_ndim, 0)
+
+
+class _BlockTriDiagonal:
+    """Common storage/shape logic (reference: block_tri_diag.py:37-289)."""
+
+    def __init__(self, diag: jnp.ndarray, lower: Optional[jnp.ndarray] = None):
+        self.diag = diag
+        self.lower = lower
+        if lower is not None:
+            assert lower.shape[-1] == diag.shape[-1]
+            assert lower.shape[-3] == diag.shape[-3] - 1
+
+    @property
+    def block_dim(self) -> int:
+        return self.diag.shape[-1]
+
+    @property
+    def num_blocks(self) -> int:
+        return self.diag.shape[-3]
+
+    @property
+    def batch_shape(self):
+        return self.diag.shape[:-3]
+
+    @property
+    def outer_dim(self) -> int:
+        return self.num_blocks * self.block_dim
+
+    def to_dense(self) -> jnp.ndarray:
+        """Materialize as [..., N*d, N*d] (for tests / tiny problems only)."""
+        n, d = self.num_blocks, self.block_dim
+        out = jnp.zeros(self.batch_shape + (n * d, n * d), self.diag.dtype)
+        for k in range(n):
+            out = out.at[..., k * d : (k + 1) * d, k * d : (k + 1) * d].set(
+                self.diag[..., k, :, :]
+            )
+        if self.lower is not None:
+            for k in range(n - 1):
+                blk = self.lower[..., k, :, :]
+                out = out.at[
+                    ..., (k + 1) * d : (k + 2) * d, k * d : (k + 1) * d
+                ].set(blk)
+                if isinstance(self, SymmetricBlockTriDiagonal):
+                    out = out.at[
+                        ..., k * d : (k + 1) * d, (k + 1) * d : (k + 2) * d
+                    ].set(tlt(blk))
+        return out
+
+    def block_mult_vector(self, vec: jnp.ndarray) -> jnp.ndarray:
+        """Multiply by a block vector [..., N, d] -> [..., N, d].
+
+        (Replaces ``product_band_mat``, reference: block_tri_diag.py:175-231.)
+        """
+        out = jnp.einsum("...nij,...nj->...ni", self.diag, vec)
+        if self.lower is not None:
+            lo = jnp.einsum("...nij,...nj->...ni", self.lower, vec[..., :-1, :])
+            out = out.at[..., 1:, :].add(lo)
+            if isinstance(self, SymmetricBlockTriDiagonal):
+                up = jnp.einsum("...nji,...nj->...ni", self.lower, vec[..., 1:, :])
+                out = out.at[..., :-1, :].add(up)
+        return out
+
+
+class LowerTriangularBlockTriDiagonal(_BlockTriDiagonal):
+    """Block-bidiagonal lower-triangular matrix (e.g. a Cholesky factor).
+
+    Reference: markovflow/block_tri_diag.py:291-382.
+    """
+
+    def solve(self, rhs: jnp.ndarray, transpose_left: bool = False) -> jnp.ndarray:
+        """Solve ``L x = rhs`` (or ``L^T x = rhs``) for block vector rhs [..., N, d].
+
+        Block forward/backward substitution via ``lax.scan``
+        (replaces ``solve_triang_mat``, reference: block_tri_diag.py:339-351).
+        """
+        batch_ndim = rhs.ndim - 2
+        diag_t = _move_time_front(self.diag, batch_ndim)
+        rhs_t = _move_time_front(rhs, batch_ndim)
+        solve = jax.scipy.linalg.solve_triangular
+
+        if not transpose_left:
+            if self.lower is None:
+                x = solve(self.diag, rhs[..., None], lower=True)[..., 0]
+                return x
+            lower_t = _move_time_front(self.lower, batch_ndim)
+
+            x0 = solve(diag_t[0], rhs_t[0][..., None], lower=True)[..., 0]
+
+            def step(x_prev, inp):
+                d_k, l_k, r_k = inp
+                resid = r_k - jnp.einsum("...ij,...j->...i", l_k, x_prev)
+                x_k = solve(d_k, resid[..., None], lower=True)[..., 0]
+                return x_k, x_k
+
+            _, xs = jax.lax.scan(step, x0, (diag_t[1:], lower_t, rhs_t[1:]))
+            out = jnp.concatenate([x0[None], xs], axis=0)
+        else:
+            if self.lower is None:
+                return solve(tlt(self.diag), rhs[..., None], lower=False)[..., 0]
+            lower_t = _move_time_front(self.lower, batch_ndim)
+
+            xN = solve(tlt(diag_t[-1]), rhs_t[-1][..., None], lower=False)[..., 0]
+
+            def step_bwd(x_next, inp):
+                d_k, l_k, r_k = inp
+                resid = r_k - jnp.einsum("...ji,...j->...i", l_k, x_next)
+                x_k = solve(tlt(d_k), resid[..., None], lower=False)[..., 0]
+                return x_k, x_k
+
+            _, xs = jax.lax.scan(
+                step_bwd, xN, (diag_t[:-1], lower_t, rhs_t[:-1]), reverse=True
+            )
+            out = jnp.concatenate([xs, xN[None]], axis=0)
+        return jnp.moveaxis(out, 0, batch_ndim)
+
+    def abs_log_det(self) -> jnp.ndarray:
+        """log |det L| = sum log |diag entries| (reference: block_tri_diag.py:353-382)."""
+        diags = jnp.diagonal(self.diag, axis1=-2, axis2=-1)
+        return jnp.sum(jnp.log(jnp.abs(diags)), axis=(-1, -2))
+
+    def block_diagonal_of_inverse(self) -> jnp.ndarray:
+        """Block diagonal of (L L^T)^{-1} — the Takahashi sparse-inverse recursion.
+
+        Replaces ``inverse_from_cholesky_band``
+        (reference: block_tri_diag.py:318-338).  Returns [..., N, d, d].
+        """
+        diag_blocks, _ = self.sparse_inverse_band()
+        return diag_blocks
+
+    def sparse_inverse_band(self):
+        """Band (diag, subdiag) of Z = (L L^T)^{-1}.
+
+        Backward Takahashi recursion:
+          Z_NN      = D_N^{-T} D_N^{-1}
+          Z_{k+1,k} = -Z_{k+1,k+1} L_{k+1,k} D_k^{-1}
+          Z_kk      = D_k^{-T} D_k^{-1} - Z_{k+1,k}^T L_{k+1,k} D_k^{-1}
+        """
+        d = self.block_dim
+        eye = jnp.eye(d, dtype=self.diag.dtype)
+        solve = jax.scipy.linalg.solve_triangular
+        d_inv = solve(self.diag, jnp.broadcast_to(eye, self.diag.shape), lower=True)
+        dtd = jnp.einsum("...ji,...jk->...ik", d_inv, d_inv)  # D^{-T} D^{-1}
+
+        if self.lower is None:
+            return dtd, None
+
+        batch_ndim = self.diag.ndim - 3
+        dtd_t = _move_time_front(dtd, batch_ndim)
+        lower_t = _move_time_front(self.lower, batch_ndim)
+        d_inv_t = _move_time_front(d_inv, batch_ndim)
+
+        def step(z_next, inp):
+            dtd_k, l_k, dinv_k = inp
+            ld = jnp.einsum("...ij,...jk->...ik", l_k, dinv_k)
+            z_off = -jnp.einsum("...ij,...jk->...ik", z_next, ld)
+            z_kk = dtd_k - jnp.einsum("...ji,...jk->...ik", z_off, ld)
+            return symmetrize(z_kk), (z_kk, z_off)
+
+        z_last = dtd_t[-1]
+        _, (z_diags, z_offs) = jax.lax.scan(
+            step, z_last, (dtd_t[:-1], lower_t, d_inv_t[:-1]), reverse=True
+        )
+        z_diag = jnp.concatenate([z_diags, z_last[None]], axis=0)
+        return (
+            jnp.moveaxis(z_diag, 0, batch_ndim),
+            jnp.moveaxis(z_offs, 0, batch_ndim),
+        )
+
+
+class SymmetricBlockTriDiagonal(_BlockTriDiagonal):
+    """Symmetric block-tridiagonal matrix (e.g. an SSM precision).
+
+    Reference: markovflow/block_tri_diag.py:384-545.
+    """
+
+    def __add__(self, other: "SymmetricBlockTriDiagonal") -> "SymmetricBlockTriDiagonal":
+        if other.lower is None:
+            lower = self.lower
+        elif self.lower is None:
+            lower = other.lower
+        else:
+            lower = self.lower + other.lower
+        return SymmetricBlockTriDiagonal(self.diag + other.diag, lower)
+
+    def add_block_diagonal(self, blocks: jnp.ndarray) -> "SymmetricBlockTriDiagonal":
+        return SymmetricBlockTriDiagonal(self.diag + blocks, self.lower)
+
+    def cholesky(self) -> LowerTriangularBlockTriDiagonal:
+        """Block Cholesky L with P = L L^T, L block-bidiagonal.
+
+        Sequential-scan reference implementation of ``cholesky_band``
+        (reference: block_tri_diag.py:424-436).
+        """
+        if self.lower is None:
+            return LowerTriangularBlockTriDiagonal(jnp.linalg.cholesky(self.diag))
+        batch_ndim = self.diag.ndim - 3
+        diag_t = _move_time_front(self.diag, batch_ndim)
+        lower_t = _move_time_front(self.lower, batch_ndim)
+        solve = jax.scipy.linalg.solve_triangular
+
+        l0 = jnp.linalg.cholesky(diag_t[0])
+
+        def step(l_prev, inp):
+            d_k, low_k = inp
+            # C_k = low_k @ L_prev^{-T}
+            c_k = tlt(solve(l_prev, tlt(low_k), lower=True))
+            s_k = d_k - jnp.einsum("...ij,...kj->...ik", c_k, c_k)
+            l_k = jnp.linalg.cholesky(symmetrize(s_k))
+            return l_k, (l_k, c_k)
+
+        _, (l_diags, c_offs) = jax.lax.scan(step, l0, (diag_t[1:], lower_t))
+        l_diag = jnp.concatenate([l0[None], l_diags], axis=0)
+        return LowerTriangularBlockTriDiagonal(
+            jnp.moveaxis(l_diag, 0, batch_ndim), jnp.moveaxis(c_offs, 0, batch_ndim)
+        )
+
+    def upper_diagonal_lower(self):
+        """Factor P = U D U^T with U unit-upper-block-bidiagonal, D block-diag.
+
+        Backward Riccati recursion (replaces the reference's ``tf.while_loop``
+        at block_tri_diag.py:438-545):
+            D_N = P_NN;  D_k = P_kk - P_{k+1,k}^T D_{k+1}^{-1} P_{k+1,k}
+            U_k (block (k, k+1)) = P_{k+1,k}^T D_{k+1}^{-1}
+        Returns ``(u_off [..., N-1, d, d], d_chol [..., N, d, d])`` where
+        ``u_off[k]`` is the off-diagonal block of U and ``d_chol`` the Cholesky
+        factors of the D blocks.  For an SSM precision this recovers
+        ``A_{k+1} = -U_k^T``-style transitions and ``Q_{k+1}^{-1} = D_{k+1}``.
+        """
+        if self.lower is None:
+            return None, jnp.linalg.cholesky(self.diag)
+        batch_ndim = self.diag.ndim - 3
+        diag_t = _move_time_front(self.diag, batch_ndim)
+        lower_t = _move_time_front(self.lower, batch_ndim)
+
+        d_last = diag_t[-1]
+
+        def step(d_next, inp):
+            p_kk, p_off = inp  # p_off = P_{k+1,k}
+            chol_next = jnp.linalg.cholesky(symmetrize(d_next))
+            # X = D_{k+1}^{-1} P_{k+1,k}
+            y = jax.scipy.linalg.solve_triangular(chol_next, p_off, lower=True)
+            d_k = p_kk - jnp.einsum("...ji,...jk->...ik", y, y)
+            x = jax.scipy.linalg.solve_triangular(
+                tlt(chol_next), y, lower=False
+            )
+            u_k = tlt(x)  # P_{k+1,k}^T D_{k+1}^{-1}
+            return d_k, (d_k, u_k)
+
+        _, (d_blocks, u_offs) = jax.lax.scan(
+            step, d_last, (diag_t[:-1], lower_t), reverse=True
+        )
+        d_all = jnp.concatenate([d_blocks, d_last[None]], axis=0)
+        d_chol = jnp.linalg.cholesky(symmetrize(d_all))
+        return (
+            jnp.moveaxis(u_offs, 0, batch_ndim),
+            jnp.moveaxis(d_chol, 0, batch_ndim),
+        )

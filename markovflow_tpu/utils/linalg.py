@@ -1,0 +1,161 @@
+"""Batched small-matrix linear algebra helpers.
+
+Replaces the reference's ``markovflow/utils.py`` helpers (block_diag,
+kronecker_product, to_delta_time, augment_square_matrix/augment_matrix,
+reference: markovflow/utils.py:75-257) with batch-first jnp equivalents.
+Everything here vmaps/jits; state dims are small (1-10), so these lower to
+vectorized VPU ops with the time/batch axes on the lanes.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "tlt",
+    "symmetrize",
+    "block_diag",
+    "batched_kron",
+    "to_delta_time",
+    "augment_square_matrix",
+    "augment_matrix",
+    "cholesky_or_zero",
+    "safe_cholesky",
+    "mvn_logpdf",
+    "solve_from_chol",
+    "add_jitter",
+]
+
+
+def tlt(x):
+    """Transpose the last two axes."""
+    return jnp.swapaxes(x, -1, -2)
+
+
+def symmetrize(x):
+    return 0.5 * (x + tlt(x))
+
+
+def add_jitter(mat, jitter: float):
+    """Add ``jitter`` to the diagonal of the last two axes."""
+    d = mat.shape[-1]
+    return mat + jitter * jnp.eye(d, dtype=mat.dtype)
+
+
+def block_diag(mats: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """Batched block-diagonal: [..., d_i, e_i] blocks -> [..., sum d, sum e].
+
+    Batch dims must broadcast.  (Reference: markovflow/utils.py block_diag.)
+    """
+    mats = [jnp.asarray(m) for m in mats]
+    batch = jnp.broadcast_shapes(*[m.shape[:-2] for m in mats])
+    rows = sum(m.shape[-2] for m in mats)
+    cols = sum(m.shape[-1] for m in mats)
+    dtype = jnp.result_type(*mats)
+    out = jnp.zeros(batch + (rows, cols), dtype=dtype)
+    r = c = 0
+    for m in mats:
+        dr, dc = m.shape[-2], m.shape[-1]
+        out = out.at[..., r : r + dr, c : c + dc].set(
+            jnp.broadcast_to(m, batch + (dr, dc))
+        )
+        r += dr
+        c += dc
+    return out
+
+
+def batched_kron(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched Kronecker product of [..., m, n] and [..., p, q] -> [..., mp, nq].
+
+    (Reference: markovflow/utils.py kronecker_product, used by the Product
+    kernel, markovflow/kernels/sde_kernel.py:691-822.)
+    """
+    m, n = a.shape[-2:]
+    p, q = b.shape[-2:]
+    out = jnp.einsum("...mn,...pq->...mpnq", a, b)
+    return out.reshape(out.shape[:-4] + (m * p, n * q))
+
+
+def to_delta_time(time_points: jnp.ndarray) -> jnp.ndarray:
+    """Differences between successive time points, [..., N] -> [..., N-1].
+
+    (Reference: markovflow/utils.py:88.)  Time points must be non-decreasing;
+    this is not checked inside jit (use checkify at the boundary if needed).
+    """
+    return jnp.diff(time_points, axis=-1)
+
+
+def augment_square_matrix(mat, extra_dim: int, fill_zeros: bool = False):
+    """Pad [..., d, d] to [..., d+e, d+e], bottom-right block = I (or 0).
+
+    Used by StackKernel to pad children to a common state dim
+    (reference: markovflow/utils.py augment_square_matrix,
+    markovflow/kernels/sde_kernel.py:945-1202).
+    """
+    if extra_dim == 0:
+        return mat
+    d = mat.shape[-1]
+    batch = mat.shape[:-2]
+    eye = jnp.zeros((extra_dim, extra_dim), mat.dtype) if fill_zeros else jnp.eye(
+        extra_dim, dtype=mat.dtype
+    )
+    out = jnp.zeros(batch + (d + extra_dim, d + extra_dim), dtype=mat.dtype)
+    out = out.at[..., :d, :d].set(mat)
+    return out.at[..., d:, d:].set(jnp.broadcast_to(eye, batch + (extra_dim, extra_dim)))
+
+
+def augment_matrix(mat, extra_dim: int):
+    """Pad the last axis of [..., m, d] with ``extra_dim`` zero columns."""
+    if extra_dim == 0:
+        return mat
+    pad = [(0, 0)] * (mat.ndim - 1) + [(0, extra_dim)]
+    return jnp.pad(mat, pad)
+
+
+def cholesky_or_zero(mat):
+    """Cholesky of PSD [..., d, d] blocks where exactly-zero blocks map to zero.
+
+    The reference masks zero covariances before Cholesky so that deterministic
+    kernels (Constant, HarmonicOscillator, Q=0) work
+    (reference: markovflow/state_space_model.py:634-656).
+    """
+    d = mat.shape[-1]
+    diag = jnp.diagonal(mat, axis1=-2, axis2=-1)
+    is_zero = jnp.all(diag == 0.0, axis=-1)[..., None, None]
+    safe = jnp.where(is_zero, jnp.eye(d, dtype=mat.dtype), mat)
+    chol = jnp.linalg.cholesky(safe)
+    return jnp.where(is_zero, jnp.zeros_like(mat), chol)
+
+
+def safe_cholesky(mat, jitter: float | None = None):
+    """Cholesky with jitter on the diagonal."""
+    if jitter is None:
+        from ..config import default_jitter
+
+        jitter = default_jitter(mat.dtype)
+    return jnp.linalg.cholesky(add_jitter(mat, jitter))
+
+
+def solve_from_chol(chol, rhs):
+    """Solve (L L^T) x = rhs given lower-triangular ``chol``, batched."""
+    y = jax.scipy.linalg.solve_triangular(chol, rhs, lower=True)
+    return jax.scipy.linalg.solve_triangular(tlt(chol), y, lower=False)
+
+
+def mvn_logpdf(x, mean, chol_cov):
+    """log N(x; mean, L L^T) over the last axis, fully batched.
+
+    Replaces TFP ``MultivariateNormalTriL.log_prob``
+    (reference: markovflow/state_space_model.py:485-526).
+    """
+    d = x.shape[-1]
+    diff = (x - mean)[..., None]
+    alpha = jax.scipy.linalg.solve_triangular(chol_cov, diff, lower=True)[..., 0]
+    maha = jnp.sum(alpha**2, axis=-1)
+    log_det = 2.0 * jnp.sum(
+        jnp.log(jnp.abs(jnp.diagonal(chol_cov, axis1=-2, axis2=-1))), axis=-1
+    )
+    const = d * jnp.log(jnp.asarray(2.0 * jnp.pi, dtype=x.dtype))
+    return -0.5 * (maha + log_det + const)

@@ -1,0 +1,199 @@
+"""A minimal pytree module system (replaces gpflow.Module / gpflow.Parameter).
+
+The reference library builds on ``gpflow.Module`` (TF variables + bijector
+constraints, reference: markovflow/base.py, markovflow/kernels/matern.py:58-59).
+In JAX the idiomatic equivalent is *modules as pytrees*: every :class:`Module`
+subclass is registered with :mod:`jax.tree_util` so that models, kernels and
+distributions flow through ``jit`` / ``grad`` / ``vmap`` directly.
+
+* :class:`Parameter` — a constrained leaf: stores an *unconstrained* array plus
+  a static bijector; ``.value`` is the constrained value.  Replaces
+  ``gpflow.Parameter``.
+* :class:`Module` — base class with automatic pytree flattening: any attribute
+  holding arrays / Parameters / Modules (possibly nested in containers) is a
+  pytree child, everything else is static auxiliary data.
+* :func:`trainable_mask` / :func:`zero_untrainable` — functional replacement
+  for TF variable trainability (reference: state_space_model.py:375-429
+  ``create_trainable_copy``).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import default_float
+from .bijectors import Bijector, Identity
+
+__all__ = [
+    "Parameter",
+    "Module",
+    "trainable_mask",
+    "zero_untrainable",
+    "module_flatten",
+]
+
+
+def _contains_array_like(value: Any) -> bool:
+    """True if ``value`` should be treated as a pytree child."""
+    if isinstance(value, (Parameter, Module, jax.Array, np.ndarray)):
+        return True
+    if isinstance(value, (list, tuple, dict)):
+        leaves = jax.tree_util.tree_leaves(
+            value, is_leaf=lambda x: isinstance(x, (Parameter, Module))
+        )
+        return any(
+            isinstance(l, (Parameter, Module, jax.Array, np.ndarray)) for l in leaves
+        )
+    return False
+
+
+@jax.tree_util.register_pytree_node_class
+class Parameter:
+    """A trainable array with a bijective constraint.
+
+    The stored representation is unconstrained; ``value`` applies the bijector
+    forward.  ``trainable`` is static metadata used by :func:`trainable_mask`.
+    """
+
+    def __init__(
+        self,
+        value=None,
+        transform: Bijector | None = None,
+        trainable: bool = True,
+        *,
+        unconstrained=None,
+        dtype=None,
+    ):
+        self.transform = transform if transform is not None else Identity()
+        self.trainable = bool(trainable)
+        if unconstrained is not None:
+            self.unconstrained = unconstrained
+        else:
+            value = jnp.asarray(value, dtype=dtype or default_float())
+            self.unconstrained = self.transform.inverse(value)
+
+    @property
+    def value(self):
+        return self.transform.forward(self.unconstrained)
+
+    @property
+    def shape(self):
+        return jnp.shape(self.value)
+
+    @property
+    def dtype(self):
+        return self.unconstrained.dtype
+
+    def replace(self, value=None, *, unconstrained=None) -> "Parameter":
+        if unconstrained is None:
+            unconstrained = self.transform.inverse(
+                jnp.asarray(value, dtype=self.unconstrained.dtype)
+            )
+        return Parameter(
+            transform=self.transform,
+            trainable=self.trainable,
+            unconstrained=unconstrained,
+        )
+
+    def __repr__(self):
+        return (
+            f"Parameter(value={self.value!r}, transform={self.transform!r}, "
+            f"trainable={self.trainable})"
+        )
+
+    def tree_flatten(self):
+        return (self.unconstrained,), (self.transform, self.trainable)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.transform, obj.trainable = aux
+        (obj.unconstrained,) = children
+        return obj
+
+
+def module_flatten(obj: "Module"):
+    """Split ``vars(obj)`` into (child names+values, static names+values)."""
+    child_names, child_vals, static = [], [], []
+    for name in sorted(vars(obj)):
+        value = vars(obj)[name]
+        if _contains_array_like(value):
+            child_names.append(name)
+            child_vals.append(value)
+        else:
+            static.append((name, value))
+    return child_names, child_vals, tuple(static)
+
+
+class Module:
+    """Base class whose subclasses are automatically pytrees.
+
+    Attribute partitioning happens at flatten time, so subclasses just assign
+    attributes in ``__init__`` — no field declarations needed.  Containers
+    (list/tuple/dict) of Modules/arrays are children.  Static attributes must
+    be hashable (they become part of the treedef and hence the jit cache key).
+    """
+
+    def __init_subclass__(cls, **kwargs):
+        super().__init_subclass__(**kwargs)
+        jax.tree_util.register_pytree_node(
+            cls, cls._tree_flatten, cls._tree_unflatten
+        )
+
+    def _tree_flatten(self):
+        child_names, child_vals, static = module_flatten(self)
+        return tuple(child_vals), (tuple(child_names), static)
+
+    @classmethod
+    def _tree_unflatten(cls, aux, children):
+        child_names, static = aux
+        obj = object.__new__(cls)
+        for name, value in zip(child_names, children):
+            object.__setattr__(obj, name, value)
+        for name, value in static:
+            object.__setattr__(obj, name, value)
+        return obj
+
+    def replace(self, **updates) -> "Module":
+        """Return a copy of this module with the given attributes replaced."""
+        obj = object.__new__(type(self))
+        vars(obj).update(vars(self))
+        for k, v in updates.items():
+            if k not in vars(obj):
+                raise AttributeError(f"{type(self).__name__} has no attribute {k}")
+            vars(obj)[k] = v
+        return obj
+
+
+def _is_param(x) -> bool:
+    return isinstance(x, Parameter)
+
+
+def trainable_mask(tree) -> Any:
+    """A pytree of bools with the same structure as ``tree``.
+
+    Leaves inside a trainable :class:`Parameter` map to True; everything else
+    (raw arrays, non-trainable Parameters) maps to False.
+    """
+
+    def per_node(x):
+        if _is_param(x):
+            return jax.tree_util.tree_map(lambda _: x.trainable, x)
+        return jax.tree_util.tree_map(lambda _: False, x)
+
+    return jax.tree_util.tree_map(per_node, tree, is_leaf=_is_param)
+
+
+def zero_untrainable(grads, mask):
+    """Zero out gradient leaves whose mask is False."""
+    return jax.tree_util.tree_map(
+        lambda g, m: g if m else jnp.zeros_like(g), grads, mask
+    )
+
+
+def apply_updates(tree, updates):
+    """tree + updates, leafwise (both pytrees with identical structure)."""
+    return jax.tree_util.tree_map(lambda t, u: t + u, tree, updates)

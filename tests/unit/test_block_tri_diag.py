@@ -1,0 +1,114 @@
+"""Block-tridiag ops vs dense NumPy (pattern: reference tests/unit/test_block_tri_diag.py)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from markovflow_tpu.block_tri_diag import (
+    LowerTriangularBlockTriDiagonal,
+    SymmetricBlockTriDiagonal,
+)
+
+
+def _random_spd_tridiag(rng, n, d):
+    """A well-conditioned symmetric block-tridiagonal matrix + its dense form."""
+    diag = rng.standard_normal((n, d, d))
+    diag = diag @ np.swapaxes(diag, -1, -2) + 5.0 * np.eye(d) * d
+    lower = 0.3 * rng.standard_normal((n - 1, d, d))
+    btd = SymmetricBlockTriDiagonal(jnp.asarray(diag), jnp.asarray(lower))
+    return btd, np.asarray(btd.to_dense())
+
+
+@pytest.mark.parametrize("d", [1, 2, 3])
+@pytest.mark.parametrize("n", [1, 2, 5])
+def test_cholesky_matches_dense(rng, n, d):
+    btd, dense = _random_spd_tridiag(rng, n, d)
+    chol = btd.cholesky()
+    assert_allclose(np.asarray(chol.to_dense()), np.linalg.cholesky(dense),
+                    atol=1e-10)
+
+
+@pytest.mark.parametrize("transpose", [False, True])
+def test_solve_matches_dense(rng, transpose):
+    n, d = 5, 3
+    btd, dense = _random_spd_tridiag(rng, n, d)
+    chol = btd.cholesky()
+    dense_l = np.linalg.cholesky(dense)
+    rhs = rng.standard_normal((n, d))
+    x = chol.solve(jnp.asarray(rhs), transpose_left=transpose)
+    mat = dense_l.T if transpose else dense_l
+    expected = np.linalg.solve(mat, rhs.reshape(-1)).reshape(n, d)
+    assert_allclose(np.asarray(x), expected, atol=1e-10)
+
+
+def test_abs_log_det(rng):
+    n, d = 4, 2
+    btd, dense = _random_spd_tridiag(rng, n, d)
+    chol = btd.cholesky()
+    expected = 0.5 * np.linalg.slogdet(dense)[1]
+    assert_allclose(np.asarray(chol.abs_log_det()), expected, atol=1e-10)
+
+
+def test_block_diagonal_of_inverse(rng):
+    n, d = 6, 2
+    btd, dense = _random_spd_tridiag(rng, n, d)
+    chol = btd.cholesky()
+    z_diag, z_off = chol.sparse_inverse_band()
+    dense_inv = np.linalg.inv(dense)
+    for k in range(n):
+        assert_allclose(np.asarray(z_diag)[k],
+                        dense_inv[k * d:(k + 1) * d, k * d:(k + 1) * d],
+                        atol=1e-9)
+    for k in range(n - 1):
+        assert_allclose(np.asarray(z_off)[k],
+                        dense_inv[(k + 1) * d:(k + 2) * d, k * d:(k + 1) * d],
+                        atol=1e-9)
+
+
+def test_upper_diagonal_lower_roundtrip(rng):
+    n, d = 5, 3
+    btd, dense = _random_spd_tridiag(rng, n, d)
+    u_off, d_chol = btd.upper_diagonal_lower()
+    # Rebuild dense U and D, check U D U^T = dense.
+    U = np.eye(n * d)
+    for k in range(n - 1):
+        U[k * d:(k + 1) * d, (k + 1) * d:(k + 2) * d] = np.asarray(u_off)[k]
+    D = np.zeros((n * d, n * d))
+    for k in range(n):
+        dc = np.asarray(d_chol)[k]
+        D[k * d:(k + 1) * d, k * d:(k + 1) * d] = dc @ dc.T
+    assert_allclose(U @ D @ U.T, dense, atol=1e-9)
+
+
+def test_block_mult_vector(rng):
+    n, d = 5, 2
+    btd, dense = _random_spd_tridiag(rng, n, d)
+    vec = rng.standard_normal((n, d))
+    out = btd.block_mult_vector(jnp.asarray(vec))
+    assert_allclose(np.asarray(out).reshape(-1), dense @ vec.reshape(-1),
+                    atol=1e-10)
+
+
+def test_add(rng):
+    n, d = 4, 2
+    a, dense_a = _random_spd_tridiag(rng, n, d)
+    b, dense_b = _random_spd_tridiag(rng, n, d)
+    assert_allclose(np.asarray((a + b).to_dense()), dense_a + dense_b,
+                    atol=1e-12)
+
+
+def test_batched_cholesky(rng):
+    n, d, batch = 4, 2, (3,)
+    diag = rng.standard_normal(batch + (n, d, d))
+    diag = diag @ np.swapaxes(diag, -1, -2) + 5.0 * np.eye(d) * d
+    lower = 0.3 * rng.standard_normal(batch + (n - 1, d, d))
+    btd = SymmetricBlockTriDiagonal(jnp.asarray(diag), jnp.asarray(lower))
+    chol = btd.cholesky()
+    for i in range(batch[0]):
+        single = SymmetricBlockTriDiagonal(jnp.asarray(diag[i]),
+                                           jnp.asarray(lower[i]))
+        dense = np.asarray(single.to_dense())
+        got = np.asarray(
+            LowerTriangularBlockTriDiagonal(chol.diag[i], chol.lower[i]).to_dense()
+        )
+        assert_allclose(got, np.linalg.cholesky(dense), atol=1e-10)
