@@ -1,0 +1,179 @@
+"""Conditional (off-grid) prediction for Markovian GPs.
+
+Rebuild of the reference's ``markovflow/conditionals.py`` (485 LoC).  For a new
+time point t* between existing points t- < t* <= t+, the Markov property gives
+
+    p(x* | x-, x+) = N(P [x-; x+] + o, T)
+
+with projections/covariance computed from the transition statistics of the two
+sub-intervals (reference: conditionals.py:122-203).  Everything is batched
+d x d algebra over the new-points axis — gathers + einsums, no loops.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import APPROX_INF
+from .gauss_markov import GaussMarkovDistribution
+from .utils.linalg import symmetrize, tlt
+
+__all__ = [
+    "pairwise_marginals",
+    "conditional_statistics",
+    "base_conditional_predict",
+    "conditional_predict",
+    "cyclic_reduction_conditional_statistics",
+]
+
+
+def pairwise_marginals(dist: GaussMarkovDistribution, initial_mean,
+                       initial_covariance):
+    """Joint mean/cov of each consecutive state pair, extended by the prior at
+    both ends (reference: conditionals.py:424-485).
+
+    Returns (means [..., T+2, 2d], covs [..., T+2, 2d, 2d]).
+    """
+    means = dist.marginal_means
+    covs, sub_covs = dist.covariance_blocks()  # sub = Cov(x_{k+1}, x_k)
+    im = initial_mean[..., None, :]
+    ic = initial_covariance[..., None, :, :]
+    ext_means = jnp.concatenate([im, means, im], axis=-2)
+    ext_covs = jnp.concatenate([ic, covs, ic], axis=-3)
+    zero = jnp.zeros_like(ic)
+    ext_sub = jnp.concatenate([zero, sub_covs, zero], axis=-3)
+    joint_mean = jnp.concatenate(
+        [ext_means[..., :-1, :], ext_means[..., 1:, :]], axis=-1)
+    top = jnp.concatenate([ext_covs[..., :-1, :, :], tlt(ext_sub)], axis=-1)
+    bottom = jnp.concatenate([ext_sub, ext_covs[..., 1:, :, :]], axis=-1)
+    return joint_mean, jnp.concatenate([top, bottom], axis=-2)
+
+
+def _conditional_statistics_from_transitions(a1, q1, b1, a2, q2, b2):
+    """Statistics of p(x* | x-, x+) where x* = A1 x- + b1 + N(0, Q1) and
+    x+ = A2 x* + b2 + N(0, Q2) (reference: conditionals.py:122-203).
+
+    Returns (P [..., d, 2d], offset [..., d], T [..., d, d]) with
+    p(x* | x-, x+) = N(P [x-; x+] + offset, T).
+    """
+    d = a1.shape[-1]
+    eye = jnp.eye(d, dtype=a1.dtype)
+    q1_chol = jnp.linalg.cholesky(symmetrize(q1))
+    q2_chol = jnp.linalg.cholesky(symmetrize(q2))
+
+    def inv_mult(chol, rhs):
+        y = jax.scipy.linalg.solve_triangular(chol, rhs, lower=True)
+        return jax.scipy.linalg.solve_triangular(tlt(chol), y, lower=False)
+
+    q1_inv = inv_mult(q1_chol, jnp.broadcast_to(eye, q1.shape))
+    q2_inv_a2 = inv_mult(q2_chol, a2)
+    t_inv = q1_inv + jnp.einsum("...ji,...jk->...ik", a2, q2_inv_a2)
+    t_cov = symmetrize(jnp.linalg.inv(symmetrize(t_inv)))
+    d_proj = t_cov @ q1_inv @ a1                      # weight on x-
+    e_proj = t_cov @ tlt(q2_inv_a2)                   # weight on x+
+    offset = jnp.einsum("...ij,...j->...i", t_cov @ q1_inv, b1) - jnp.einsum(
+        "...ij,...j->...i", t_cov @ tlt(q2_inv_a2), b2)
+    p_proj = jnp.concatenate([d_proj, e_proj], axis=-1)
+    return p_proj, offset, t_cov
+
+
+def conditional_statistics(new_time_points, existing_time_points, kernel):
+    """(P, offset, T, indices) for each new point against its existing
+    neighbours; outside points use +/-APPROX_INF phantom neighbours
+    (reference: conditionals.py:207-254).
+
+    ``indices[i]`` is the insertion index of new point i into the existing
+    points (0 = before the first -> left neighbour is the phantom prior).
+    """
+    padded = jnp.concatenate([
+        jnp.full_like(existing_time_points[..., :1], -APPROX_INF),
+        existing_time_points,
+        jnp.full_like(existing_time_points[..., :1], APPROX_INF),
+    ], axis=-1)
+    indices = jnp.searchsorted(existing_time_points, new_time_points,
+                               side="left")
+    t_minus = jnp.take_along_axis(
+        jnp.broadcast_to(padded, indices.shape[:-1] + padded.shape[-1:]),
+        indices, axis=-1)
+    t_plus = jnp.take_along_axis(
+        jnp.broadcast_to(padded, indices.shape[:-1] + padded.shape[-1:]),
+        indices + 1, axis=-1)
+    dt1 = jnp.clip(new_time_points - t_minus, 0.0, APPROX_INF)
+    dt2 = jnp.clip(t_plus - new_time_points, 0.0, APPROX_INF)
+    # A new point coinciding with an existing one (dt2 == 0, searchsorted
+    # side='left') makes Q2 singular; handle it exactly: x* = x+.
+    exact = dt2 <= 0.0
+    dt2_safe = jnp.where(exact, 1.0, dt2)
+    a1, q1 = kernel.transition_statistics(t_minus, dt1)
+    a2, q2 = kernel.transition_statistics(new_time_points, dt2_safe)
+    b1 = kernel.state_offsets(a1, dt1)
+    b2 = kernel.state_offsets(a2, dt2_safe)
+    p_proj, offset, t_cov = _conditional_statistics_from_transitions(
+        a1, q1, b1, a2, q2, b2)
+    d = a1.shape[-1]
+    eye = jnp.eye(d, dtype=a1.dtype)
+    p_exact = jnp.concatenate([jnp.zeros_like(eye), eye], axis=-1)
+    ex = exact[..., None, None]
+    p_proj = jnp.where(ex, p_exact, p_proj)
+    offset = jnp.where(exact[..., None], 0.0, offset)
+    t_cov = jnp.where(ex, 0.0, t_cov)
+    return p_proj, offset, t_cov, indices
+
+
+def base_conditional_predict(conditional_projections, conditional_offsets,
+                             conditional_covariances, adjacent_means,
+                             pairwise_covariances=None):
+    """Marginals p(x*) = N(P m + o, T + P S P^T)
+    (reference: conditionals.py:380-420)."""
+    means = jnp.einsum("...nij,...nj->...ni", conditional_projections,
+                       adjacent_means) + conditional_offsets
+    covs = conditional_covariances
+    if pairwise_covariances is not None:
+        covs = covs + (conditional_projections @ pairwise_covariances
+                       @ tlt(conditional_projections))
+    return means, covs
+
+
+def conditional_predict(new_time_points, existing_time_points, kernel, dist):
+    """Marginal means/covs of states at ``new_time_points`` given the
+    distribution ``dist`` over states at ``existing_time_points``
+    (reference: conditionals.py:29-85).
+    """
+    p_proj, offset, t_cov, indices = conditional_statistics(
+        new_time_points, existing_time_points, kernel)
+    mu = kernel.initial_mean(existing_time_points.shape[:-1])
+    p_inf = kernel.initial_covariance(existing_time_points[..., :1])
+    pair_means, pair_covs = pairwise_marginals(dist, mu, p_inf)
+    adj_means = jnp.take_along_axis(
+        pair_means, indices[..., None], axis=-2)
+    adj_covs = jnp.take_along_axis(
+        pair_covs, indices[..., None, None], axis=-3)
+    return base_conditional_predict(p_proj, offset, t_cov, adj_means, adj_covs)
+
+
+def cyclic_reduction_conditional_statistics(time_points, kernel):
+    """Conditional statistics for the cyclic-reduction (divide & conquer)
+    parameterization: for each odd point, p(x_odd | x_left_even, x_right_even)
+    (reference: conditionals.py:258-376 — defined there but unused by models;
+    kept for parity and as the building block of blocked parallel solvers).
+
+    Returns (P [..., M, d, 2d], offset, T) for the odd points given their even
+    neighbours.
+    """
+    odd = time_points[..., 1::2]
+    left = time_points[..., 0::2][..., : odd.shape[-1]]
+    n_even = time_points.shape[-1] - odd.shape[-1]
+    right_src = jnp.concatenate([
+        time_points[..., 0::2],
+        jnp.full_like(time_points[..., :1], APPROX_INF),
+    ], axis=-1)
+    right = right_src[..., 1 : odd.shape[-1] + 1]
+    dt1 = odd - left
+    dt2 = jnp.clip(right - odd, 0.0, APPROX_INF)
+    a1, q1 = kernel.transition_statistics(left, dt1)
+    a2, q2 = kernel.transition_statistics(odd, dt2)
+    b1 = kernel.state_offsets(a1, dt1)
+    b2 = kernel.state_offsets(a2, dt2)
+    return _conditional_statistics_from_transitions(a1, q1, b1, a2, q2, b2)

@@ -1,0 +1,77 @@
+"""Exact GP regression via Kalman filtering — the north-star benchmark model.
+
+Rebuild of ``markovflow/models/gaussian_process_regression.py:30-160``:
+log marginal likelihood and posterior come from the parallel-scan Kalman
+filter/smoother over the kernel's SSM — O(log T) depth instead of the
+reference's sequential banded Cholesky (SURVEY.md section 3.1).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+from ..kalman_filter import KalmanFilter
+from ..utils.checks import check_time_points
+from ..kernels import SDEKernel
+from ..likelihoods import Gaussian, MultivariateGaussian
+from ..mean_function import MeanFunction
+from ..posterior import AnalyticPosteriorProcess
+from .models import MarkovFlowModel
+
+__all__ = ["GaussianProcessRegression"]
+
+
+class GaussianProcessRegression(MarkovFlowModel):
+    def __init__(self, input_data: Tuple[jnp.ndarray, jnp.ndarray],
+                 kernel: SDEKernel, chol_obs_covariance: jnp.ndarray,
+                 mean_function: Optional[MeanFunction] = None):
+        """input_data: (time_points [..., N], observations [..., N, o]);
+        chol_obs_covariance [o, o] (reference: gaussian_process_regression.py:54-96)."""
+        self.time_points, self.observations = input_data
+        check_time_points(self.time_points)
+        if jnp.ndim(self.observations) != jnp.ndim(self.time_points) + 1:
+            raise ValueError(
+                "observations must have shape time_points.shape + [obs_dim]; "
+                f"got {jnp.shape(self.observations)} for time points "
+                f"{jnp.shape(self.time_points)}")
+        self.kernel = kernel
+        self.chol_obs_covariance = chol_obs_covariance
+        self.mean_function = mean_function
+
+    def _residual(self):
+        """Observations minus the mean function
+        (reference: gaussian_process_regression.py:118-128)."""
+        if self.mean_function is None:
+            return self.observations
+        return self.observations - self.mean_function(self.time_points)
+
+    @property
+    def kalman(self) -> KalmanFilter:
+        ssm = self.kernel.state_space_model(self.time_points)
+        emission = self.kernel.generate_emission_model(self.time_points)
+        return KalmanFilter(ssm, emission, self._residual(),
+                            self.chol_obs_covariance)
+
+    def log_likelihood(self) -> jnp.ndarray:
+        """log p(Y) (reference: gaussian_process_regression.py:152-160)."""
+        return self.kalman.log_likelihood()
+
+    def loss(self) -> jnp.ndarray:
+        return -self.log_likelihood()
+
+    @property
+    def posterior(self) -> AnalyticPosteriorProcess:
+        """(reference: gaussian_process_regression.py:137-150)."""
+        o = self.chol_obs_covariance.shape[-1]
+        if o == 1:
+            lik = Gaussian(variance=self.chol_obs_covariance[..., 0, 0] ** 2)
+        else:
+            lik = MultivariateGaussian(self.chol_obs_covariance)
+        return AnalyticPosteriorProcess(
+            posterior_dist=self.kalman.posterior_state_space_model(),
+            kernel=self.kernel,
+            conditioning_time_points=self.time_points,
+            likelihood=lik,
+            mean_function=self.mean_function,
+        )

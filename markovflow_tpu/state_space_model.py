@@ -110,7 +110,8 @@ class StateSpaceModel(GaussMarkovDistribution):
         mu0, l0 = self.initial_mean, self.cholesky_initial_covariance
         A, b, lq = self.state_transitions, self.state_offsets, \
             self.cholesky_process_covariances
-        zero_A = jnp.zeros_like(A[..., :1, :, :])
+        d = self.state_dim
+        zero_A = jnp.zeros(A.shape[:-3] + (1, d, d), A.dtype)
         F = jnp.concatenate([zero_A, A], axis=-3)
         c = jnp.concatenate([mu0[..., None, :], b], axis=-2)
         Q = jnp.concatenate(

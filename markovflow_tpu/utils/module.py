@@ -172,26 +172,33 @@ def _is_param(x) -> bool:
     return isinstance(x, Parameter)
 
 
-def trainable_mask(tree) -> Any:
-    """A pytree of bools with the same structure as ``tree``.
+def trainable_mask(tree) -> list:
+    """Flat list of bools aligned with ``jax.tree_util.tree_leaves(tree)``.
 
-    Leaves inside a trainable :class:`Parameter` map to True; everything else
-    (raw arrays, non-trainable Parameters) maps to False.
+    A leaf is True iff it lives inside a trainable :class:`Parameter`.
+    (A flat list — not a mask *tree* — because Module flattening is
+    value-dependent: bool leaves would change the tree structure.)
     """
+    flags: list = []
 
-    def per_node(x):
+    def visit(x):
         if _is_param(x):
-            return jax.tree_util.tree_map(lambda _: x.trainable, x)
-        return jax.tree_util.tree_map(lambda _: False, x)
+            n = len(jax.tree_util.tree_leaves(x))
+            flags.extend([bool(x.trainable)] * n)
+        else:
+            flags.extend([False] * len(jax.tree_util.tree_leaves(x)))
+        return None
 
-    return jax.tree_util.tree_map(per_node, tree, is_leaf=_is_param)
+    jax.tree_util.tree_map(visit, tree, is_leaf=_is_param)
+    return flags
 
 
-def zero_untrainable(grads, mask):
-    """Zero out gradient leaves whose mask is False."""
-    return jax.tree_util.tree_map(
-        lambda g, m: g if m else jnp.zeros_like(g), grads, mask
-    )
+def zero_untrainable(grads, mask: list):
+    """Zero out gradient leaves whose mask entry is False."""
+    leaves, treedef = jax.tree_util.tree_flatten(grads)
+    assert len(leaves) == len(mask), "mask/grads leaf count mismatch"
+    new = [g if m else jnp.zeros_like(g) for g, m in zip(leaves, mask)]
+    return jax.tree_util.tree_unflatten(treedef, new)
 
 
 def apply_updates(tree, updates):

@@ -1,0 +1,151 @@
+"""GPR vs dense GP oracle
+(pattern: reference tests/integration/test_posterior.py:33-120)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from numpy.testing import assert_allclose
+
+from markovflow_tpu.kernels import Matern32
+from markovflow_tpu.mean_function import LinearMeanFunction
+from markovflow_tpu.models import GaussianProcessRegression
+
+ELL, VAR, NOISE = 0.8, 1.4, 0.1
+
+
+def matern32_gram(a, b):
+    lam = np.sqrt(3.0) / ELL
+    r = np.abs(a[:, None] - b[None, :])
+    return VAR * (1 + lam * r) * np.exp(-lam * r)
+
+
+def make_data(rng, n=9):
+    x = np.sort(rng.uniform(0, 4, n))
+    y = np.sin(2 * x) + 0.1 * rng.standard_normal(n)
+    return x, y
+
+
+def dense_gp_posterior(x, y, x_new):
+    kxx = matern32_gram(x, x) + NOISE**2 * np.eye(len(x))
+    kxs = matern32_gram(x, x_new)
+    kss = matern32_gram(x_new, x_new)
+    alpha = np.linalg.solve(kxx, y)
+    mean = kxs.T @ alpha
+    cov = kss - kxs.T @ np.linalg.solve(kxx, kxs)
+    ll = -0.5 * (y @ alpha + np.linalg.slogdet(kxx)[1]
+                 + len(x) * np.log(2 * np.pi))
+    return mean, cov, ll
+
+
+def make_model(x, y):
+    kernel = Matern32(lengthscale=ELL, variance=VAR)
+    return GaussianProcessRegression(
+        input_data=(jnp.asarray(x), jnp.asarray(y[:, None])),
+        kernel=kernel,
+        chol_obs_covariance=jnp.asarray([[NOISE]]),
+    )
+
+
+def test_gpr_log_likelihood_matches_dense(rng):
+    x, y = make_data(rng)
+    model = make_model(x, y)
+    _, _, ll = dense_gp_posterior(x, y, x)
+    assert_allclose(float(model.log_likelihood()), ll, rtol=1e-10)
+
+
+def test_gpr_predict_f_matches_dense(rng):
+    x, y = make_data(rng)
+    model = make_model(x, y)
+    x_new = np.array([-0.5, 0.31, 1.77, 2.09, 4.5])
+    mean_np, cov_np, _ = dense_gp_posterior(x, y, x_new)
+    f_mu, f_var = model.predict_f(jnp.asarray(x_new))
+    assert_allclose(np.asarray(f_mu)[:, 0], mean_np, atol=1e-8)
+    assert_allclose(np.asarray(f_var)[:, 0], np.diag(cov_np), atol=1e-8)
+
+
+def test_gpr_predict_f_at_training_points(rng):
+    x, y = make_data(rng)
+    model = make_model(x, y)
+    mean_np, cov_np, _ = dense_gp_posterior(x, y, x)
+    f_mu, f_var = model.predict_f(jnp.asarray(x))
+    assert_allclose(np.asarray(f_mu)[:, 0], mean_np, atol=1e-8)
+    assert_allclose(np.asarray(f_var)[:, 0], np.diag(cov_np), atol=1e-8)
+
+
+def test_gpr_predict_y(rng):
+    x, y = make_data(rng)
+    model = make_model(x, y)
+    x_new = np.array([0.5, 2.2])
+    mean_np, cov_np, _ = dense_gp_posterior(x, y, x_new)
+    y_mu, y_var = model.posterior.predict_y(jnp.asarray(x_new))
+    assert_allclose(np.asarray(y_mu)[:, 0], mean_np, atol=1e-8)
+    assert_allclose(np.asarray(y_var)[:, 0], np.diag(cov_np) + NOISE**2,
+                    atol=1e-8)
+
+
+def test_gpr_with_mean_function(rng):
+    x, y = make_data(rng)
+    kernel = Matern32(lengthscale=ELL, variance=VAR)
+    model = GaussianProcessRegression(
+        input_data=(jnp.asarray(x), jnp.asarray(y[:, None])),
+        kernel=kernel,
+        chol_obs_covariance=jnp.asarray([[NOISE]]),
+        mean_function=LinearMeanFunction(1.5),
+    )
+    resid = y - 1.5 * x
+    _, _, ll = dense_gp_posterior(x, resid, x)
+    assert_allclose(float(model.log_likelihood()), ll, rtol=1e-10)
+    x_new = np.array([0.5, 2.2])
+    mean_np, _, _ = dense_gp_posterior(x, resid, x_new)
+    f_mu, _ = model.predict_f(jnp.asarray(x_new))
+    assert_allclose(np.asarray(f_mu)[:, 0], mean_np + 1.5 * x_new, atol=1e-8)
+
+
+def test_gpr_loss_is_jittable_and_differentiable(rng):
+    x, y = make_data(rng)
+    model = make_model(x, y)
+
+    @jax.jit
+    def loss_fn(m):
+        return m.loss()
+
+    val = loss_fn(model)
+    grads = jax.grad(lambda m: m.loss())(model)
+    g_ell = grads.kernel.lengthscale.unconstrained
+    assert np.isfinite(float(val))
+    assert np.isfinite(float(g_ell)) and abs(float(g_ell)) > 0
+
+    # gradient matches finite differences through the dense oracle
+    def dense_ll(ell):
+        lam = jnp.sqrt(3.0) / ell
+        r = jnp.abs(jnp.asarray(x)[:, None] - jnp.asarray(x)[None, :])
+        k = VAR * (1 + lam * r) * jnp.exp(-lam * r) + NOISE**2 * jnp.eye(len(x))
+        yj = jnp.asarray(y)
+        chol = jnp.linalg.cholesky(k)
+        alpha = jax.scipy.linalg.cho_solve((chol, True), yj)
+        return -0.5 * (yj @ alpha + len(x) * jnp.log(2 * jnp.pi)) - jnp.sum(
+            jnp.log(jnp.diag(chol)))
+
+    def ssm_ll(ell):
+        kernel = Matern32(lengthscale=ell, variance=VAR)
+        m = GaussianProcessRegression(
+            (jnp.asarray(x), jnp.asarray(y[:, None])), kernel,
+            jnp.asarray([[NOISE]]))
+        return m.log_likelihood()
+
+    g1 = jax.grad(dense_ll)(ELL)
+    g2 = jax.grad(ssm_ll)(ELL)
+    assert_allclose(float(g2), float(g1), rtol=1e-8)
+
+
+def test_gpr_sampling(rng):
+    x, y = make_data(rng)
+    model = make_model(x, y)
+    x_new = np.array([0.5, 1.1, 2.2])
+    samples = model.posterior.sample_f(jnp.asarray(x_new), 50_000,
+                                       jax.random.PRNGKey(3))
+    mean_np, cov_np, _ = dense_gp_posterior(x, y, x_new)
+    emp_mean = np.asarray(samples).mean(axis=0)[:, 0]
+    assert_allclose(emp_mean, mean_np, atol=0.05)
+    emp = np.asarray(samples)[..., 0]
+    emp_cov = np.cov(emp.T)
+    assert_allclose(emp_cov, cov_np, atol=0.05)
