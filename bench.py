@@ -1,0 +1,66 @@
+"""North-star benchmark: exact GPR training step at T = 1e6 (Matern-3/2).
+
+Runs on whatever accelerator JAX picks (the real TPU chip under the driver).
+Measures one full training step — value_and_grad of the log marginal
+likelihood through the parallel Kalman filter — and prints ONE JSON line.
+
+Target (BASELINE.md): < 50 ms / step on one TPU v5e chip.  ``vs_baseline`` is
+target_ms / measured_ms (>1 means beating the target).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from markovflow_tpu.kernels import Matern32
+    from markovflow_tpu.models import GaussianProcessRegression
+
+    dtype = jnp.float32
+    t_len = 1_000_000
+    rng = np.random.default_rng(0)
+    x = np.linspace(0.0, 1000.0, t_len)
+    y = (np.sin(2.0 * x) + 0.2 * rng.standard_normal(t_len))[:, None]
+
+    def make_model(ell, var, noise):
+        return GaussianProcessRegression(
+            input_data=(jnp.asarray(x, dtype), jnp.asarray(y, dtype)),
+            kernel=Matern32(lengthscale=ell, variance=var),
+            chol_obs_covariance=jnp.asarray([[noise]], dtype),
+        )
+
+    model = make_model(0.5, 1.0, 0.2)
+
+    @jax.jit
+    def train_step(m):
+        return jax.value_and_grad(lambda mm: mm.loss())(m)
+
+    # warmup / compile
+    loss, grads = train_step(model)
+    loss.block_until_ready()
+
+    times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        loss, grads = train_step(model)
+        loss.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    ms = float(np.median(times) * 1e3)
+
+    target_ms = 50.0
+    print(json.dumps({
+        "metric": "gpr_train_step_T1e6_matern32_ms",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(target_ms / ms, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from .config import APPROX_INF
 from .gauss_markov import GaussMarkovDistribution
-from .utils.linalg import symmetrize, tlt
+from .utils.linalg import small_inv, symmetrize, tlt
 
 __all__ = [
     "pairwise_marginals",
@@ -70,7 +70,7 @@ def _conditional_statistics_from_transitions(a1, q1, b1, a2, q2, b2):
     q1_inv = inv_mult(q1_chol, jnp.broadcast_to(eye, q1.shape))
     q2_inv_a2 = inv_mult(q2_chol, a2)
     t_inv = q1_inv + jnp.einsum("...ji,...jk->...ik", a2, q2_inv_a2)
-    t_cov = symmetrize(jnp.linalg.inv(symmetrize(t_inv)))
+    t_cov = symmetrize(small_inv(symmetrize(t_inv)))
     d_proj = t_cov @ q1_inv @ a1                      # weight on x-
     e_proj = t_cov @ tlt(q2_inv_a2)                   # weight on x+
     offset = jnp.einsum("...ij,...j->...i", t_cov @ q1_inv, b1) - jnp.einsum(

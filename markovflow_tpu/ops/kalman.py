@@ -29,7 +29,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..utils.linalg import symmetrize, tlt
+from ..utils.linalg import small_det, small_inv, small_solve, symmetrize, tlt
 
 __all__ = [
     "FilterElements",
@@ -53,6 +53,88 @@ class FilterElements(NamedTuple):
     C: jnp.ndarray  # [..., N, d, d]
     J: jnp.ndarray  # [..., N, d, d]
     eta: jnp.ndarray  # [..., N, d, 1]
+
+
+# --------------------------------------------------------------------------
+# Time-last (TL) layout core.
+#
+# TPU tiling pads the LAST TWO axes of every materialized array to the
+# (sublane, lane) = (8, 128) grid.  An associative scan over [..., N, d, d]
+# leaves therefore materializes each tiny d x d block as an 8 x 128 tile —
+# ~100x memory waste and ~1000x slowdown measured at d = 2.  The scans here
+# run in time-last layout [..., d, d, N]: the long time axis sits on the
+# lanes and every combine is a fused elementwise expression over N.
+# Boundary transposes fuse into the surrounding computation under jit.
+# --------------------------------------------------------------------------
+def _to_tl(x):
+    return jnp.moveaxis(x, -3, -1)
+
+
+def _from_tl(x):
+    return jnp.moveaxis(x, -1, -3)
+
+
+def _mm_tl(a, b):
+    return jnp.einsum("...ijn,...jkn->...ikn", a, b)
+
+
+def _t_tl(a):
+    return jnp.swapaxes(a, -3, -2)
+
+
+def _sym_tl(a):
+    return 0.5 * (a + _t_tl(a))
+
+
+def _inv_tl(m):
+    """Adjugate inverse of [..., d, d, N] over leading matrix dims, d <= 3."""
+    d = m.shape[-3]
+    if d == 1:
+        return 1.0 / m
+    if d == 2:
+        det = m[..., 0, 0, :] * m[..., 1, 1, :] - m[..., 0, 1, :] * m[..., 1, 0, :]
+        row0 = jnp.stack([m[..., 1, 1, :], -m[..., 0, 1, :]], axis=-2)
+        row1 = jnp.stack([-m[..., 1, 0, :], m[..., 0, 0, :]], axis=-2)
+        return jnp.stack([row0, row1], axis=-3) / det[..., None, None, :]
+    if d == 3:
+        c = lambda i1, j1, i2, j2: (m[..., i1, j1, :] * m[..., i2, j2, :]
+                                    - m[..., i1, j2, :] * m[..., i2, j1, :])
+        det = (m[..., 0, 0, :] * c(1, 1, 2, 2)
+               - m[..., 0, 1, :] * c(1, 0, 2, 2)
+               + m[..., 0, 2, :] * c(1, 0, 2, 1))
+        adj = jnp.stack([
+            jnp.stack([c(1, 1, 2, 2), -c(0, 1, 2, 2), c(0, 1, 1, 2)], -2),
+            jnp.stack([-c(1, 0, 2, 2), c(0, 0, 2, 2), -c(0, 0, 1, 2)], -2),
+            jnp.stack([c(1, 0, 2, 1), -c(0, 0, 2, 1), c(0, 0, 1, 1)], -2),
+        ], -3)
+        return adj / det[..., None, None, :]
+    # fallback through the batched-LU path
+    return _to_tl(jnp.linalg.inv(_from_tl(m)))
+
+
+def _combine_filter_tl(x, y):
+    """TL-layout version of the Lemma-8 combination (x earlier, y later)."""
+    xa, xb, xc, xj, xe = x
+    ya, yb, yc, yj, ye = y
+    d = xa.shape[-3]
+    eye = jnp.eye(d, dtype=xa.dtype)[..., None]
+    m_inv = _inv_tl(eye + _mm_tl(xc, yj))
+    m_inv_t = _t_tl(m_inv)
+    a = _mm_tl(ya, _mm_tl(m_inv, xa))
+    b = _mm_tl(ya, _mm_tl(m_inv, xb + _mm_tl(xc, ye))) + yb
+    c = _mm_tl(ya, _mm_tl(_mm_tl(m_inv, xc), _t_tl(ya))) + yc
+    eta = _mm_tl(_t_tl(xa), _mm_tl(m_inv_t, ye - _mm_tl(yj, xb))) + xe
+    j = _mm_tl(_t_tl(xa), _mm_tl(m_inv_t, _mm_tl(yj, xa))) + xj
+    return a, b, _sym_tl(c), _sym_tl(j), eta
+
+
+def _combine_smoother_tl(later, earlier):
+    le, lg, ll = later
+    ee, eg, el = earlier
+    e = _mm_tl(ee, le)
+    g = _mm_tl(ee, lg) + eg
+    ell = _mm_tl(ee, _mm_tl(ll, _t_tl(ee))) + el
+    return e, g, _sym_tl(ell)
 
 
 def prior_step_arrays(ssm) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -79,7 +161,7 @@ def make_filter_elements(F, c, Q, H, nu, lam) -> FilterElements:
     eye_o = jnp.eye(o, dtype=F.dtype)
     qht = jnp.einsum("...nij,...noj->...nio", Q, H)  # Q H^T [N, d, o]
     hqht = jnp.einsum("...noi,...nip->...nop", H, qht)  # [N, o, o]
-    z = jnp.linalg.inv(eye_o + hqht @ lam)
+    z = small_inv(eye_o + hqht @ lam)
     lam_z = symmetrize(lam @ z)  # S^{-1}
     gain = qht @ lam_z  # Q H^T lam Z  [N, d, o]
     gh = gain @ H  # [N, d, d]
@@ -107,23 +189,29 @@ def _combine_filter(x: FilterElements, y: FilterElements) -> FilterElements:
     eye = jnp.eye(d, dtype=x.A.dtype)
     m = eye + x.C @ y.J
     rhs = jnp.concatenate([x.A, x.b + x.C @ y.eta, x.C], axis=-1)
-    sol = jnp.linalg.solve(m, rhs)
+    sol = small_solve(m, rhs)
     s_a, s_b, s_c = sol[..., :d], sol[..., d : d + 1], sol[..., d + 1 :]
     a = y.A @ s_a
     b = y.A @ s_b + y.b
     c = y.A @ s_c @ tlt(y.A) + y.C
     rhs2 = jnp.concatenate([y.eta - y.J @ x.b, y.J @ x.A], axis=-1)
-    sol2 = jnp.linalg.solve(tlt(m), rhs2)
+    sol2 = small_solve(tlt(m), rhs2)
     eta = tlt(x.A) @ sol2[..., :1] + x.eta
     j = tlt(x.A) @ sol2[..., 1:] + x.J
     return FilterElements(a, b, symmetrize(c), symmetrize(j), eta)
 
 
 def parallel_filter(elems: FilterElements):
-    """Filtered means/covs [..., N, d] / [..., N, d, d] via associative scan."""
-    axis = elems.A.ndim - 3
-    res = jax.lax.associative_scan(_combine_filter, elems, axis=axis)
-    return res.b[..., 0], res.C
+    """Filtered means/covs [..., N, d] / [..., N, d, d] via associative scan.
+
+    Runs in time-last layout internally (see above); the boundary transposes
+    fuse with neighbouring ops under jit.
+    """
+    tl = tuple(_to_tl(a) for a in elems)
+    res = jax.lax.associative_scan(_combine_filter_tl, tl, axis=tl[0].ndim - 1)
+    m_f = jnp.moveaxis(res[1][..., 0, :], -1, -2)  # [..., d, N] -> [..., N, d]
+    p_f = _from_tl(res[2])
+    return m_f, p_f
 
 
 def sequential_filter(elems: FilterElements):
@@ -188,12 +276,11 @@ def log_likelihood_sites(H, nu, lam, m_pred, p_pred, mask=None):
     else:
         lam_safe = lam
     quad = jnp.einsum(
-        "...no,...no->...n", w, jnp.linalg.solve(m_mat, w[..., None])[..., 0]
+        "...no,...no->...n", w, small_solve(m_mat, w[..., None])[..., 0]
     )
     eye_o = jnp.eye(o, dtype=lam.dtype)
-    _, ld_izl = jnp.linalg.slogdet(eye_o + hpht @ lam_safe)
-    _, ld_lam = jnp.linalg.slogdet(lam_safe)
-    log_det_s = ld_izl - ld_lam
+    log_det_s = jnp.log(jnp.abs(small_det(eye_o + hpht @ lam_safe))) - \
+        jnp.log(jnp.abs(small_det(lam_safe)))
     ll = -0.5 * (quad + log_det_s + o * jnp.log(
         jnp.asarray(2.0 * jnp.pi, m_pred.dtype)))
     if mask is not None:
@@ -223,7 +310,7 @@ def _make_smoother_elements(F, c, Q, m_f, P_f) -> SmootherElements:
     p_pred = symmetrize(fn @ pk @ tlt(fn) + qn)
     pfT = pk @ tlt(fn)
     # E = pfT @ p_pred^{-1}  ->  E^T = p_pred^{-1} pfT^T (p_pred symmetric)
-    gains = tlt(jnp.linalg.solve(p_pred, tlt(pfT)))
+    gains = tlt(small_solve(p_pred, tlt(pfT)))
     g = mk - jnp.einsum(
         "...nij,...nj->...ni", gains,
         jnp.einsum("...nij,...nj->...ni", fn, mk) + cn,
@@ -249,13 +336,15 @@ def parallel_smoother(F, c, Q, m_f, P_f):
     """Smoothed means/covs + RTS gains via reverse associative scan.
 
     Returns (m_s [..., N, d], P_s [..., N, d, d], gains [..., N-1, d, d]).
+    Runs in time-last layout internally.
     """
     elems, gains = _make_smoother_elements(F, c, Q, m_f, P_f)
-    axis = elems.E.ndim - 3
+    tl = tuple(_to_tl(a) for a in elems)
     res = jax.lax.associative_scan(
-        _combine_smoother, elems, axis=axis, reverse=True
+        _combine_smoother_tl, tl, axis=tl[0].ndim - 1, reverse=True
     )
-    return res.g[..., 0], res.L, gains
+    m_s = jnp.moveaxis(res[1][..., 0, :], -1, -2)
+    return m_s, _from_tl(res[2]), gains
 
 
 def sequential_smoother(F, c, Q, m_f, P_f):
@@ -288,7 +377,7 @@ def posterior_ssm_params(m_s, P_s, gains):
     Returns (mu0, P0, A_s, b_s, Q_s, subsequent_covs).
     """
     cross = gains @ P_s[..., 1:, :, :]  # Cov(x_k, x_{k+1})
-    a_post = tlt(jnp.linalg.solve(P_s[..., :-1, :, :], cross))
+    a_post = tlt(small_solve(P_s[..., :-1, :, :], cross))
     b_post = m_s[..., 1:, :] - jnp.einsum(
         "...nij,...nj->...ni", a_post, m_s[..., :-1, :]
     )

@@ -1,0 +1,101 @@
+"""Natural-gradient optimizer for trainable state-space models.
+
+Rebuild of ``markovflow/ssm_natgrad.py`` (244 LoC).  The natural gradient of a
+loss L w.r.t. the natural parameters theta equals dL/d(eta) (the expectation
+parameters).  The reference computes this with a persistent GradientTape and
+``output_gradients`` chain-rule tricks (reference: ssm_natgrad.py:121-218);
+in JAX it is one ``jax.vjp`` through ``expectations_to_ssm_params``:
+
+    g_ssm   = grad_ssm L
+    g_eta   = vjp(expectations_to_ssm_params, eta)(g_ssm)   # = natgrad in theta
+    theta  <- theta - gamma * g_eta
+    ssm    <- naturals_to_ssm(theta)
+
+Pure-functional: ``step`` returns a new SSM (raw array fields), not an
+in-place update.  Optional Adam-style momentum on theta with a Fisher-norm
+(g . g_tilde) scale, mirroring the reference (reference: ssm_natgrad.py:177-210).
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .ssm_gaussian_transformations import (
+    expectations_to_ssm_params,
+    naturals_to_ssm,
+    ssm_to_expectations,
+    ssm_to_naturals,
+)
+from .state_space_model import StateSpaceModel
+
+__all__ = ["SSMNaturalGradient", "NatGradState"]
+
+
+class NatGradState(NamedTuple):
+    momentum: Optional[Tuple]  # theta-shaped pytree or None
+    fisher_norm: jnp.ndarray  # scalar moving average of g . g_tilde
+    count: jnp.ndarray
+
+
+class SSMNaturalGradient:
+    """(reference: ssm_natgrad.py:33-244)."""
+
+    def __init__(self, gamma: float = 0.1, momentum: bool = False,
+                 beta1: float = 0.9, beta2: float = 0.99,
+                 epsilon: float = 1e-8):
+        self.gamma = gamma
+        self.momentum = momentum
+        self.beta1 = beta1
+        self.beta2 = beta2
+        self.epsilon = epsilon
+
+    def init(self, ssm: StateSpaceModel) -> NatGradState:
+        if not self.momentum:
+            return NatGradState(None, jnp.zeros(()), jnp.zeros((), jnp.int32))
+        theta = ssm_to_naturals(ssm)
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, theta)
+        return NatGradState(zeros, jnp.zeros(()), jnp.zeros((), jnp.int32))
+
+    def step(self, loss_fn: Callable[[StateSpaceModel], jnp.ndarray],
+             ssm: StateSpaceModel, state: Optional[NatGradState] = None):
+        """One natural-gradient step.  ``ssm`` must have raw array fields
+        (use ``non_trainable_copy()``).  Returns (new_ssm, state, loss)."""
+        if state is None:
+            state = self.init(ssm)
+        loss, g_ssm = jax.value_and_grad(loss_fn)(ssm)
+        g_tuple = (
+            g_ssm.state_transitions,
+            g_ssm.state_offsets,
+            g_ssm.cholesky_initial_covariance,
+            g_ssm.cholesky_process_covariances,
+            g_ssm.initial_mean,
+        )
+        eta = ssm_to_expectations(ssm)
+        _, vjp_fn = jax.vjp(lambda e: expectations_to_ssm_params(*e), eta)
+        (g_eta,) = vjp_fn(g_tuple)  # dL/d eta == natgrad direction in theta
+
+        theta = ssm_to_naturals(ssm)
+        if self.momentum:
+            mom = jax.tree_util.tree_map(
+                lambda m, g: self.beta1 * m + (1.0 - self.beta1) * g,
+                state.momentum, g_eta)
+            # Fisher norm <g, g_tilde> with g the theta-gradient approximated
+            # by g_eta itself (positive semidefinite pairing)
+            sq = sum(jnp.sum(a * a) for a in jax.tree_util.tree_leaves(g_eta))
+            fisher = self.beta2 * state.fisher_norm + (1.0 - self.beta2) * sq
+            count = state.count + 1
+            mom_hat = jax.tree_util.tree_map(
+                lambda m: m / (1.0 - self.beta1 ** count), mom)
+            fisher_hat = fisher / (1.0 - self.beta2 ** count)
+            scale = self.gamma / (jnp.sqrt(fisher_hat) + self.epsilon)
+            theta_new = jax.tree_util.tree_map(
+                lambda t, m: t - scale * m, theta, mom_hat)
+            state = NatGradState(mom, fisher, count)
+        else:
+            theta_new = jax.tree_util.tree_map(
+                lambda t, g: t - self.gamma * g, theta, g_eta)
+            state = NatGradState(None, state.fisher_norm, state.count + 1)
+        new_ssm = naturals_to_ssm(*theta_new)
+        return new_ssm, state, loss

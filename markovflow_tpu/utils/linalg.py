@@ -26,7 +26,65 @@ __all__ = [
     "mvn_logpdf",
     "solve_from_chol",
     "add_jitter",
+    "small_det",
+    "small_inv",
+    "small_solve",
 ]
+
+
+def small_det(m):
+    """Determinant of [..., d, d] with closed forms for d <= 3.
+
+    Avoids LU (`jnp.linalg.det`) — faster for the tiny state/obs dims of
+    Markovian GPs and works in f64 on TPU (LU is f32-only there).
+    """
+    d = m.shape[-1]
+    if d == 1:
+        return m[..., 0, 0]
+    if d == 2:
+        return m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0]
+    if d == 3:
+        return (
+            m[..., 0, 0] * (m[..., 1, 1] * m[..., 2, 2]
+                            - m[..., 1, 2] * m[..., 2, 1])
+            - m[..., 0, 1] * (m[..., 1, 0] * m[..., 2, 2]
+                              - m[..., 1, 2] * m[..., 2, 0])
+            + m[..., 0, 2] * (m[..., 1, 0] * m[..., 2, 1]
+                              - m[..., 1, 1] * m[..., 2, 0])
+        )
+    return jnp.linalg.det(m)
+
+
+def small_inv(m):
+    """Inverse of [..., d, d] via adjugate for d <= 3, LU otherwise."""
+    d = m.shape[-1]
+    if d == 1:
+        return 1.0 / m
+    if d == 2:
+        det = small_det(m)[..., None, None]
+        adj = jnp.stack([
+            jnp.stack([m[..., 1, 1], -m[..., 0, 1]], -1),
+            jnp.stack([-m[..., 1, 0], m[..., 0, 0]], -1),
+        ], -2)
+        return adj / det
+    if d == 3:
+        det = small_det(m)[..., None, None]
+        c = lambda i1, j1, i2, j2: (m[..., i1, j1] * m[..., i2, j2]
+                                    - m[..., i1, j2] * m[..., i2, j1])
+        adj = jnp.stack([
+            jnp.stack([c(1, 1, 2, 2), -c(0, 1, 2, 2), c(0, 1, 1, 2)], -1),
+            jnp.stack([-c(1, 0, 2, 2), c(0, 0, 2, 2), -c(0, 0, 1, 2)], -1),
+            jnp.stack([c(1, 0, 2, 1), -c(0, 0, 2, 1), c(0, 0, 1, 1)], -1),
+        ], -2)
+        return adj / det
+    return jnp.linalg.inv(m)
+
+
+def small_solve(m, rhs):
+    """Solve m @ x = rhs for tiny m (closed-form inverse), LU otherwise."""
+    if m.shape[-1] <= 3:
+        return small_inv(m) @ rhs
+    return jnp.linalg.solve(m, rhs)
 
 
 def tlt(x):
