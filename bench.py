@@ -17,6 +17,11 @@ import numpy as np
 
 def main():
     import jax
+
+    # Persistent compilation cache: the T=1e6 grad graph takes minutes to
+    # compile; cache it across bench runs.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from markovflow_tpu.kernels import Matern32

@@ -58,17 +58,8 @@ def _conditional_statistics_from_transitions(a1, q1, b1, a2, q2, b2):
     Returns (P [..., d, 2d], offset [..., d], T [..., d, d]) with
     p(x* | x-, x+) = N(P [x-; x+] + offset, T).
     """
-    d = a1.shape[-1]
-    eye = jnp.eye(d, dtype=a1.dtype)
-    q1_chol = jnp.linalg.cholesky(symmetrize(q1))
-    q2_chol = jnp.linalg.cholesky(symmetrize(q2))
-
-    def inv_mult(chol, rhs):
-        y = jax.scipy.linalg.solve_triangular(chol, rhs, lower=True)
-        return jax.scipy.linalg.solve_triangular(tlt(chol), y, lower=False)
-
-    q1_inv = inv_mult(q1_chol, jnp.broadcast_to(eye, q1.shape))
-    q2_inv_a2 = inv_mult(q2_chol, a2)
+    q1_inv = small_inv(symmetrize(q1))
+    q2_inv_a2 = small_inv(symmetrize(q2)) @ a2
     t_inv = q1_inv + jnp.einsum("...ji,...jk->...ik", a2, q2_inv_a2)
     t_cov = symmetrize(small_inv(symmetrize(t_inv)))
     d_proj = t_cov @ q1_inv @ a1                      # weight on x-

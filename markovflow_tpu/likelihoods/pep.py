@@ -46,14 +46,17 @@ class PEPScalarLikelihood(Likelihood):
                                      num_points=self.num_points))
 
     def grad_log_expected_density(self, f_means, f_covariances, y, alpha=1.0):
-        """(value, (d/dmu, d/dsigma2)) — autodiff replaces the reference's
-        nested tapes (reference: :196-212)."""
-        def led(mu, var):
-            return jnp.sum(self.log_expected_density(mu, var, y, alpha))
+        """(value, (dI/dmu, d2I/dmu2)) — first and SECOND derivative w.r.t.
+        the mean, as the EP moment-matching update expects.  Autodiff replaces
+        the reference's nested tapes (reference: :196-212)."""
+        def led_sum(mu):
+            return jnp.sum(self.log_expected_density(mu, f_covariances, y,
+                                                     alpha))
 
         val = self.log_expected_density(f_means, f_covariances, y, alpha)
-        g_mu, g_var = jax.grad(led, argnums=(0, 1))(f_means, f_covariances)
-        return val, (g_mu, g_var)
+        g_mu = jax.grad(led_sum)(f_means)
+        h_mu = jax.grad(lambda mu: jnp.sum(jax.grad(led_sum)(mu)))(f_means)
+        return val, (g_mu, h_mu)
 
 
 class PEPGaussian(PEPScalarLikelihood):
@@ -71,3 +74,10 @@ class PEPGaussian(PEPScalarLikelihood):
         corr = (1.0 - alpha) * (-0.5) * (_LOG_2PI + jnp.log(s)) - 0.5 * jnp.log(
             jnp.asarray(alpha, f_means.dtype))
         return log_norm[..., 0] + corr
+
+    def grad_log_expected_density(self, f_means, f_covariances, y, alpha=1.0):
+        """Analytic (dI/dmu, d2I/dmu2) (reference: likelihoods.py:254-265)."""
+        s = self.base.variance.value
+        var = s / alpha + f_covariances
+        val = self.log_expected_density(f_means, f_covariances, y, alpha)
+        return val, ((y - f_means) / var, -1.0 / var)

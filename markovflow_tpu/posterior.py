@@ -79,21 +79,33 @@ class ConditionalProcess(PosteriorProcess):
         trajectory over [Z, new], a posterior draw u_o ~ q(s(Z)), and correct
         s_o(t) = s_p(t) - P (u_p_pair - u_o_pair)
         (Doubly-Sparse VGP App.2; reference: posterior.py:260-377)."""
+        s, _ = self.sample_state_trajectories(new_time_points, sample_shape,
+                                              key)
+        return s
+
+    def sample_state_trajectories(self, new_time_points, sample_shape, key):
+        """Joint samples (s at new points, u at conditioning points) from
+        q(u) p(s | u) (reference: posterior.py:260-377).  Returns (s, u)."""
         if isinstance(sample_shape, int):
             sample_shape = (sample_shape,)
         z = self.conditioning_time_points
-        t_new = new_time_points
+        key_p, key_q = jax.random.split(key)
+        u_o = self.dist.sample(key_q, sample_shape)
+        s = self._sample_states_given_u(key_p, new_time_points, u_o)
+        return s, u_o
+
+    def _sample_states_given_u(self, key, t_new, u_o):
+        """Prior trajectory over [Z, t_new] pathwise-corrected to hit the
+        given u draws at Z."""
+        z = self.conditioning_time_points
         n_z = z.shape[-1]
+        sample_shape = u_o.shape[: u_o.ndim - 2 - len(self.dist.batch_shape)]
         all_times = jnp.concatenate([z, t_new], axis=-1)
         order = jnp.argsort(all_times, axis=-1, stable=True)
         sorted_times = jnp.take_along_axis(all_times, order, axis=-1)
         inv_order = jnp.argsort(order, axis=-1, stable=True)
-
-        key_p, key_q = jax.random.split(key)
         prior_ssm = self.kernel.state_space_model(sorted_times)
-        s_p = prior_ssm.sample(key_p, sample_shape)  # [S..., Nz+Nt, d]
-        u_o = self.dist.sample(key_q, sample_shape)  # [S..., Nz, d]
-
+        s_p = prior_ssm.sample(key, sample_shape)
         u_p = jnp.take_along_axis(
             s_p, jnp.broadcast_to(
                 inv_order[..., :n_z, None],
@@ -102,25 +114,18 @@ class ConditionalProcess(PosteriorProcess):
             s_p, jnp.broadcast_to(
                 inv_order[..., n_z:, None],
                 s_p.shape[:-2] + (t_new.shape[-1], s_p.shape[-1])), axis=-2)
-
-        # neighbour-pair correction vector, phantom zeros at both ends
         v = u_p - u_o
         zeros = jnp.zeros_like(v[..., :1, :])
         v_ext = jnp.concatenate([zeros, v, zeros], axis=-2)
         pair_v = jnp.concatenate([v_ext[..., :-1, :], v_ext[..., 1:, :]],
-                                 axis=-1)  # [S..., Nz+1, 2d]
+                                 axis=-1)
         p_proj, _, _, indices = conditional_statistics(t_new, z, self.kernel)
         adj_v = jnp.take_along_axis(
             pair_v, jnp.broadcast_to(
                 indices[..., None],
                 pair_v.shape[:-2] + (t_new.shape[-1], pair_v.shape[-1])),
             axis=-2)
-        correction = jnp.einsum("...nij,...nj->...ni", p_proj, adj_v)
-        return s_p_new - correction
-
-    def sample_state_trajectories(self, new_time_points, sample_shape, key):
-        """Alias used by IWVI (reference: posterior.py:260)."""
-        return self.sample_state(new_time_points, sample_shape, key)
+        return s_p_new - jnp.einsum("...nij,...nj->...ni", p_proj, adj_v)
 
 
 class AnalyticPosteriorProcess(ConditionalProcess):
@@ -149,101 +154,70 @@ class ImportanceWeightedPosteriorProcess(PosteriorProcess):
     """Importance-weighted posterior for IWVI
     (reference: posterior.py:471-787)."""
 
-    def __init__(self, num_importance_samples: int, proposal: ConditionalProcess,
-                 likelihood, time_points, observations, mean_function=None):
+    def __init__(self, num_importance_samples: int, proposal_dist,
+                 kernel, inducing_points, likelihood, mean_function=None):
         self.num_importance_samples = num_importance_samples
-        self.proposal = proposal
+        self.proposal_dist = proposal_dist  # q(u), a GaussMarkovDistribution
+        self.kernel = kernel
+        self.inducing_points = inducing_points
         self.likelihood = likelihood
-        self.time_points = time_points
-        self.observations = observations
         self.mean_function = mean_function
 
     @property
-    def kernel(self):
-        return self.proposal.kernel
+    def proposal_process(self) -> ConditionalProcess:
+        return ConditionalProcess(self.proposal_dist, self.kernel,
+                                  self.inducing_points)
 
-    def log_importance_weights(self, key, sample_shape=()):
-        """log w = log p(Y|s) + log p(u) - log q(u), u on inducing points,
-        s sampled jointly with u (reference: posterior.py:522-580).
-
-        Returns log weights [sample_shape..., K] plus the state samples.
-        """
-        if isinstance(sample_shape, int):
-            sample_shape = (sample_shape,)
-        k = self.num_importance_samples
-        shape = tuple(sample_shape) + (k,)
-        key_s, key_u = jax.random.split(key)
-        z = self.proposal.conditioning_time_points
-        # sample u ~ q and states at data points conditioned pathwise
-        u_samples = self.proposal.dist.sample(key_u, shape)
-        states = self._sample_states_given_u(key_s, u_samples)
-        em = self.kernel.generate_emission_model(self.time_points)
-        f = em.project_state_to_f(states)
+    def log_importance_weights(self, samples_s, samples_u, input_data,
+                               stop_gradient: bool = False):
+        """log w = log p(Y|s) + log p(u) - log q(u) for given joint samples
+        (reference: posterior.py:522-580).  With ``stop_gradient`` the
+        proposal's parameters are detached inside log q(u) (DREGS)."""
+        time_points, observations = input_data
+        em = self.kernel.generate_emission_model(time_points)
+        f = em.project_state_to_f(samples_s)
         if self.mean_function is not None:
-            f = f + self.mean_function(self.time_points)
+            f = f + self.mean_function(time_points)
         log_py = jnp.sum(
-            self.likelihood.log_probability_density(f, self.observations),
-            axis=-1)
-        prior_z = self.kernel.state_space_model(z)
-        log_p_u = prior_z.log_pdf(u_samples)
-        log_q_u = self.proposal.dist.log_pdf(u_samples)
-        return log_py + log_p_u - log_q_u, states
-
-    def _sample_states_given_u(self, key, u_samples):
-        """Prior trajectory at data points corrected towards given u draws."""
-        z = self.proposal.conditioning_time_points
-        t_new = self.time_points
-        n_z = z.shape[-1]
-        sample_shape = u_samples.shape[: u_samples.ndim - 2 -
-                                       len(self.proposal.dist.batch_shape)]
-        all_times = jnp.concatenate([z, t_new], axis=-1)
-        order = jnp.argsort(all_times, axis=-1, stable=True)
-        sorted_times = jnp.take_along_axis(all_times, order, axis=-1)
-        inv_order = jnp.argsort(order, axis=-1, stable=True)
-        prior_ssm = self.kernel.state_space_model(sorted_times)
-        s_p = prior_ssm.sample(key, sample_shape)
-        u_p = jnp.take_along_axis(
-            s_p, jnp.broadcast_to(
-                inv_order[..., :n_z, None],
-                s_p.shape[:-2] + (n_z, s_p.shape[-1])), axis=-2)
-        s_p_new = jnp.take_along_axis(
-            s_p, jnp.broadcast_to(
-                inv_order[..., n_z:, None],
-                s_p.shape[:-2] + (t_new.shape[-1], s_p.shape[-1])), axis=-2)
-        v = u_p - u_samples
-        zeros = jnp.zeros_like(v[..., :1, :])
-        v_ext = jnp.concatenate([zeros, v, zeros], axis=-2)
-        pair_v = jnp.concatenate([v_ext[..., :-1, :], v_ext[..., 1:, :]],
-                                 axis=-1)
-        p_proj, _, _, indices = conditional_statistics(t_new, z, self.kernel)
-        adj_v = jnp.take_along_axis(
-            pair_v, jnp.broadcast_to(
-                indices[..., None],
-                pair_v.shape[:-2] + (t_new.shape[-1], pair_v.shape[-1])),
-            axis=-2)
-        return s_p_new - jnp.einsum("...nij,...nj->...ni", p_proj, adj_v)
+            self.likelihood.log_probability_density(f, observations), axis=-1)
+        prior_z = self.kernel.state_space_model(self.inducing_points)
+        log_p_u = prior_z.log_pdf(samples_u)
+        dist_q = self.proposal_dist
+        if stop_gradient:
+            dist_q = jax.lax.stop_gradient(dist_q)
+        log_q_u = dist_q.log_pdf(samples_u)
+        return log_py + log_p_u - log_q_u
 
     def predict_state(self, new_time_points):
         raise NotImplementedError(
             "IW posterior has no closed-form marginals; use expected_value "
-            "or sample via the proposal.")
+            "or sample via the proposal_process.")
 
     def predict_f(self, new_time_points, full_output_cov: bool = False):
-        return self.proposal.predict_f(new_time_points, full_output_cov)
+        return self.proposal_process.predict_f(new_time_points,
+                                               full_output_cov)
 
     def sample_state(self, new_time_points, sample_shape, key):
-        return self.proposal.sample_state(new_time_points, sample_shape, key)
+        return self.proposal_process.sample_state(new_time_points,
+                                                  sample_shape, key)
 
-    def expected_value(self, key, new_time_points, func=None,
-                       num_samples: int = 1):
+    def expected_value(self, new_time_points, input_data, key, func=None):
         """Self-normalized importance-weighted posterior expectation of
-        func(states at new_time_points) (reference: posterior.py:708-758)."""
+        func(states at new_time_points) (reference: posterior.py:708-758).
+
+        Samples (s_data, u) jointly for the weights and s at the new points
+        given the SAME u draws, so weights pair with function samples.
+        """
         if func is None:
             func = lambda x: x
-        log_w, _ = self.log_importance_weights(key, ())
-        weights = jax.nn.softmax(log_w, axis=-1)
-        key2 = jax.random.fold_in(key, 1)
-        states = self.proposal.sample_state(
-            new_time_points, (self.num_importance_samples,), key2)
-        vals = func(states)
+        k = self.num_importance_samples
+        key_w, key_s = jax.random.split(key)
+        proposal = self.proposal_process
+        time_points, _ = input_data
+        s_data, u = proposal.sample_state_trajectories(
+            time_points, (k,), key_w)
+        log_w = self.log_importance_weights(s_data, u, input_data)
+        weights = jax.nn.softmax(log_w, axis=0)
+        s_new = proposal._sample_states_given_u(key_s, new_time_points, u)
+        vals = func(s_new)
         return jnp.einsum("k,k...->...", weights, vals)

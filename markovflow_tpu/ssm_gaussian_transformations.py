@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from .block_tri_diag import SymmetricBlockTriDiagonal
 from .ops.scans import affine_scan
 from .state_space_model import StateSpaceModel
-from .utils.linalg import small_inv, symmetrize, tlt
+from .utils.linalg import small_cholesky, small_inv, small_solve, symmetrize, tlt
 
 __all__ = [
     "ssm_to_expectations",
@@ -67,19 +67,14 @@ def expectations_to_ssm_params(eta_linear, eta_diag, eta_subdiag):
     # Cov(x_k, x_{k+1}) = eta_subdiag^T - mu_k mu_{k+1}^T
     cov_right = tlt(eta_subdiag) - means[..., :-1, :, None] * \
         means[..., 1:, None, :]
-    chols = jnp.linalg.cholesky(symmetrize(covs))
-
-    def chol_solve(l, rhs):
-        y = jax.scipy.linalg.solve_triangular(l, rhs, lower=True)
-        return jax.scipy.linalg.solve_triangular(tlt(l), y, lower=False)
-
-    a_s = tlt(chol_solve(chols[..., :-1, :, :], cov_right))
+    chols = small_cholesky(symmetrize(covs))
+    a_s = tlt(small_solve(symmetrize(covs[..., :-1, :, :]), cov_right))
     mu0 = means[..., 0, :]
     chol_p0 = chols[..., 0, :, :]
     b_s = means[..., 1:, :] - jnp.einsum(
         "...nij,...nj->...ni", a_s, means[..., :-1, :])
     q_s = covs[..., 1:, :, :] - a_s @ covs[..., :-1, :, :] @ tlt(a_s)
-    chol_q_s = jnp.linalg.cholesky(symmetrize(q_s))
+    chol_q_s = small_cholesky(symmetrize(q_s))
     return a_s, b_s, chol_p0, chol_q_s, mu0
 
 
@@ -97,10 +92,7 @@ def _q_inverses(ssm: StateSpaceModel):
     l0 = ssm.cholesky_initial_covariance[..., None, :, :]
     lq = ssm.cholesky_process_covariances
     chols = jnp.concatenate([l0, lq], axis=-3)
-    eye = jnp.eye(ssm.state_dim, dtype=chols.dtype)
-    li = jax.scipy.linalg.solve_triangular(
-        chols, jnp.broadcast_to(eye, chols.shape), lower=True)
-    return jnp.einsum("...nji,...njk->...nik", li, li)
+    return small_inv(symmetrize(chols @ tlt(chols)))
 
 
 def ssm_to_naturals(ssm: StateSpaceModel):
@@ -137,10 +129,9 @@ def naturals_to_ssm_params(theta_linear, theta_diag, theta_subdiag):
     a_s = -tlt(u_off)
     d = theta_diag.shape[-1]
     eye = jnp.eye(d, dtype=theta_diag.dtype)
-    dinv_chol = jax.scipy.linalg.solve_triangular(
-        d_chol, jnp.broadcast_to(eye, d_chol.shape), lower=True)
-    cov_all = jnp.einsum("...nji,...njk->...nik", dinv_chol, dinv_chol)
-    chol_cov_all = jnp.linalg.cholesky(symmetrize(cov_all))
+    cov_all = small_inv(symmetrize(d_chol @ tlt(d_chol)))
+    cov_all = symmetrize(cov_all)
+    chol_cov_all = small_cholesky(cov_all)
     chol_p0 = chol_cov_all[..., 0, :, :]
     chol_q_s = chol_cov_all[..., 1:, :, :]
 
@@ -188,7 +179,7 @@ def naturals_to_ssm_params_no_smoothing(theta_linear, theta_diag,
     """Inverse of :func:`ssm_to_naturals_no_smoothing` (reference: :515-593)."""
     q_all = small_inv(symmetrize(-2.0 * theta_diag))
     q_all = symmetrize(q_all)
-    chol_all = jnp.linalg.cholesky(q_all)
+    chol_all = small_cholesky(q_all)
     chol_p0 = chol_all[..., 0, :, :]
     chol_q_s = chol_all[..., 1:, :, :]
     a_s = q_all[..., 1:, :, :] @ theta_subdiag

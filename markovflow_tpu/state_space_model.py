@@ -253,10 +253,10 @@ class StateSpaceModel(GaussMarkovDistribution):
         lq = self.cholesky_process_covariances
         A = self.state_transitions
 
+        from .utils.linalg import small_inv
+
         def inv_from_chol(l):
-            li = jax.scipy.linalg.solve_triangular(
-                l, jnp.broadcast_to(eye, l.shape), lower=True)
-            return jnp.einsum("...ji,...jk->...ik", li, li)
+            return small_inv(symmetrize(l @ tlt(l)))
 
         p0_inv = inv_from_chol(l0)
         q_inv = inv_from_chol(lq)

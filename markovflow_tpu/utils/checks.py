@@ -20,15 +20,21 @@ def _is_concrete(x) -> bool:
 
 
 def check_time_points(time_points, name: str = "time_points"):
-    """Raise if concrete time points are not non-decreasing."""
+    """Raise if concrete time points are not non-decreasing.
+
+    The check runs on the device holding the array and transfers only a
+    single boolean — pulling the whole array to host is prohibitively slow
+    on remote-attached accelerators.
+    """
     if _is_concrete(time_points):
-        arr = np.asarray(time_points)
-        if arr.ndim < 1:
+        if jnp.ndim(time_points) < 1:
             raise ValueError(f"{name} must have at least one axis")
-        if arr.shape[-1] > 1 and not np.all(np.diff(arr, axis=-1) >= 0):
-            raise ValueError(
-                f"{name} must be sorted in non-decreasing order along the "
-                "last axis")
+        if jnp.shape(time_points)[-1] > 1:
+            ok = jnp.all(jnp.diff(time_points, axis=-1) >= 0)
+            if not bool(ok):
+                raise ValueError(
+                    f"{name} must be sorted in non-decreasing order along "
+                    "the last axis")
 
 
 def check_shape_suffix(array, suffix, name: str):

@@ -29,6 +29,7 @@ __all__ = [
     "small_det",
     "small_inv",
     "small_solve",
+    "small_cholesky",
 ]
 
 
@@ -85,6 +86,41 @@ def small_solve(m, rhs):
     if m.shape[-1] <= 3:
         return small_inv(m) @ rhs
     return jnp.linalg.solve(m, rhs)
+
+
+def small_cholesky(mat):
+    """Closed-form Cholesky for [..., d, d] with d <= 3.
+
+    Batched LAPACK-style ``jnp.linalg.cholesky`` on [N, d, d] arrays is a
+    compile-time and runtime hazard on TPU for tiny d; these unrolled
+    formulas are pure elementwise ops (and differentiable).
+    """
+    d = mat.shape[-1]
+    if d == 1:
+        return jnp.sqrt(mat)
+    if d == 2:
+        a = jnp.sqrt(mat[..., 0, 0])
+        b = mat[..., 1, 0] / a
+        c = jnp.sqrt(mat[..., 1, 1] - b * b)
+        z = jnp.zeros_like(a)
+        return jnp.stack([
+            jnp.stack([a, z], -1),
+            jnp.stack([b, c], -1),
+        ], -2)
+    if d == 3:
+        l11 = jnp.sqrt(mat[..., 0, 0])
+        l21 = mat[..., 1, 0] / l11
+        l31 = mat[..., 2, 0] / l11
+        l22 = jnp.sqrt(mat[..., 1, 1] - l21 * l21)
+        l32 = (mat[..., 2, 1] - l31 * l21) / l22
+        l33 = jnp.sqrt(mat[..., 2, 2] - l31 * l31 - l32 * l32)
+        z = jnp.zeros_like(l11)
+        return jnp.stack([
+            jnp.stack([l11, z, z], -1),
+            jnp.stack([l21, l22, z], -1),
+            jnp.stack([l31, l32, l33], -1),
+        ], -2)
+    return jnp.linalg.cholesky(mat)
 
 
 def tlt(x):
@@ -183,7 +219,7 @@ def cholesky_or_zero(mat):
     diag = jnp.diagonal(mat, axis1=-2, axis2=-1)
     is_zero = jnp.all(diag == 0.0, axis=-1)[..., None, None]
     safe = jnp.where(is_zero, jnp.eye(d, dtype=mat.dtype), mat)
-    chol = jnp.linalg.cholesky(safe)
+    chol = small_cholesky(safe)
     return jnp.where(is_zero, jnp.zeros_like(mat), chol)
 
 
@@ -193,7 +229,7 @@ def safe_cholesky(mat, jitter: float | None = None):
         from ..config import default_jitter
 
         jitter = default_jitter(mat.dtype)
-    return jnp.linalg.cholesky(add_jitter(mat, jitter))
+    return small_cholesky(add_jitter(mat, jitter))
 
 
 def solve_from_chol(chol, rhs):
@@ -210,6 +246,8 @@ def mvn_logpdf(x, mean, chol_cov):
     """
     d = x.shape[-1]
     diff = (x - mean)[..., None]
+    chol_cov = jnp.broadcast_to(
+        chol_cov, diff.shape[:-2] + chol_cov.shape[-2:])
     alpha = jax.scipy.linalg.solve_triangular(chol_cov, diff, lower=True)[..., 0]
     maha = jnp.sum(alpha**2, axis=-1)
     log_det = 2.0 * jnp.sum(

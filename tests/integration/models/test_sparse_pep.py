@@ -1,0 +1,71 @@
+"""Sparse PEP tests (pattern: reference tests/integration/models/test_sparse_pep.py)."""
+import jax.numpy as jnp
+import numpy as np
+from numpy.testing import assert_allclose
+
+from markovflow_tpu.kernels import Matern32
+from markovflow_tpu.likelihoods import Gaussian, PEPGaussian
+from markovflow_tpu.models import GaussianProcessRegression
+from markovflow_tpu.models.sparse_pep import SparsePowerExpectationPropagation
+
+NOISE = 0.3
+
+
+def make_data(rng, n=12):
+    x = np.sort(rng.uniform(0.1, 4.9, n))
+    y = np.sin(2 * x) + 0.1 * rng.standard_normal(n)
+    return jnp.asarray(x), jnp.asarray(y[:, None])
+
+
+def test_spep_dense_inducing_recovers_gpr(rng):
+    """With one data point per interval (Z interleaving X), EP (alpha=1)
+    converges to a stable fixed point near the exact posterior."""
+    x, y = make_data(rng, n=8)
+    z = jnp.asarray(np.linspace(0.0, 5.0, 9))  # each x in its own interval
+    kernel = Matern32(lengthscale=0.7, variance=1.2)
+    spep = SparsePowerExpectationPropagation(
+        kernel, z, PEPGaussian(Gaussian(variance=NOISE**2)),
+        learning_rate=1.0, alpha=1.0)
+    gpr = GaussianProcessRegression(
+        (x, y), Matern32(lengthscale=0.7, variance=1.2), jnp.asarray([[NOISE]]))
+    e_prev = -np.inf
+    for _ in range(10):
+        spep = spep.update_sites((x, y))
+    elbo = float(spep.classic_elbo((x, y)))
+    gpr_ll = float(gpr.log_likelihood())
+    # The sparse bound sits below the evidence; with a z-grid that is NOT the
+    # data locations there is an irreducible projection gap.
+    assert elbo <= gpr_ll + 1e-6
+    assert elbo > gpr_ll - 3.0
+    f_s, _ = spep.predict_f(x)
+    f_g, _ = gpr.predict_f(x)
+    assert float(jnp.max(jnp.abs(f_s - f_g))) < 0.3
+
+
+def test_spep_improves_elbo(rng):
+    x, y = make_data(rng, n=30)
+    z = jnp.asarray(np.linspace(0.0, 5.0, 7))
+    spep = SparsePowerExpectationPropagation(
+        Matern32(lengthscale=0.7, variance=1.2), z,
+        PEPGaussian(Gaussian(variance=NOISE**2)), learning_rate=0.5,
+        alpha=0.8)
+    e0 = float(spep.classic_elbo((x, y)))
+    for _ in range(8):
+        spep = spep.update_sites((x, y))
+    e1 = float(spep.classic_elbo((x, y)))
+    assert np.isfinite(e1) and e1 > e0 + 1.0
+    assert np.isfinite(float(spep.energy((x, y))))
+
+
+def test_spep_fractions(rng):
+    x, _ = make_data(rng, n=10)
+    z = jnp.asarray([1.0, 2.5])
+    spep = SparsePowerExpectationPropagation(
+        Matern32(), z, PEPGaussian(Gaussian(variance=1.0)))
+    counts = np.asarray(spep.compute_num_data_per_interval(x))
+    assert counts.sum() == 10
+    frac = np.asarray(spep.compute_fraction(x))
+    # each point's fraction is 1/count of its interval
+    idx = np.searchsorted(np.asarray(z), np.asarray(x))
+    for i, f in zip(idx, frac):
+        assert_allclose(f, 1.0 / counts[i])

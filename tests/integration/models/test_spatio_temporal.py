@@ -1,0 +1,103 @@
+"""Spatio-temporal model tests
+(pattern: reference docs notebook spatio_temporal + model consistency)."""
+import jax.numpy as jnp
+import numpy as np
+from numpy.testing import assert_allclose
+
+from markovflow_tpu.kernels import Matern32
+from markovflow_tpu.kernels.spatial import SquaredExponential
+from markovflow_tpu.likelihoods import Gaussian
+from markovflow_tpu.models.spatio_temporal_variational import (
+    SparseSpatioTemporalKernel,
+    SpatioTemporalSparseCVI,
+    SpatioTemporalSparseVariational,
+    batch_base_conditional,
+)
+from markovflow_tpu.ssm_natgrad import SSMNaturalGradient
+
+
+def make_data(rng, n=40):
+    s = rng.uniform(0, 1, (n, 1))
+    t = np.sort(rng.uniform(0, 3, n))
+    x = np.concatenate([s, t[:, None]], axis=-1)  # [n, space+1]
+    f = np.sin(3 * t) * np.cos(2 * s[:, 0])
+    y = (f + 0.1 * rng.standard_normal(n))[:, None]
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+def setup(rng):
+    x, y = make_data(rng)
+    zs = jnp.asarray(np.linspace(0.05, 0.95, 4)[:, None])
+    zt = jnp.asarray(np.linspace(0.0, 3.0, 6))
+    ks = SquaredExponential(lengthscale=0.5, variance=1.0)
+    kt = Matern32(lengthscale=1.0, variance=1.0)
+    return x, y, zs, zt, ks, kt
+
+
+def test_st_kernel_gram_is_separable(rng):
+    """Cov(f(z_i, t), f(z_j, t')) = k_s(z_i, z_j) k_t(t, t') at the inducing
+    space points."""
+    _, _, zs, _, ks, kt = setup(rng)
+    kernel = SparseSpatioTemporalKernel(ks, kt, zs)
+    ts = jnp.asarray([0.0, 0.7, 1.9])
+    ssm = kernel.state_space_model(ts)
+    em = kernel.generate_emission_model(ts)
+    means, covs = ssm.marginals
+    f_cov = em.project_state_covariance_to_f(covs, full_output_cov=True)
+    k_space = np.asarray(ks(zs))
+    for i in range(len(ts)):
+        assert_allclose(np.asarray(f_cov)[i], k_space * 1.0, atol=1e-9)
+
+
+def test_batch_base_conditional_prior(rng):
+    """With q = p(u) = N(0, Kmm), the conditional recovers the prior
+    marginals."""
+    zs = jnp.asarray(np.linspace(0, 1, 5)[:, None])
+    xs = jnp.asarray(rng.uniform(0, 1, (7, 1)))
+    ks = SquaredExponential(lengthscale=0.4, variance=1.3)
+    kmm = ks(zs)
+    kmn = jnp.moveaxis(ks(xs, zs), -1, 0)
+    knn = ks.k_diag(xs)
+    n = xs.shape[0]
+    f = jnp.zeros((n, 5))
+    q_sqrt = jnp.broadcast_to(jnp.linalg.cholesky(
+        kmm + 1e-10 * jnp.eye(5)), (n, 5, 5))
+    mean, var = batch_base_conditional(kmn, kmm, knn, f, q_sqrt=q_sqrt)
+    assert_allclose(np.asarray(mean), 0.0, atol=1e-9)
+    assert_allclose(np.asarray(var), np.asarray(knn), atol=1e-8)
+
+
+def test_st_svgp_trains(rng):
+    x, y, zs, zt, ks, kt = setup(rng)
+    model = SpatioTemporalSparseVariational(
+        inducing_space=zs, inducing_time=zt, kernel_space=ks, kernel_time=kt,
+        likelihood=Gaussian(variance=0.1**2))
+    e0 = float(model.elbo((x, y)))
+    opt = SSMNaturalGradient(gamma=0.7)
+    ssm = model.dist_q.non_trainable_copy()
+    loss_fn = lambda s: model.with_dist_q(s).loss((x, y))
+    state = None
+    for _ in range(15):
+        ssm, state, _ = opt.step(loss_fn, ssm, state)
+    model = model.with_dist_q(ssm)
+    e1 = float(model.elbo((x, y)))
+    assert np.isfinite(e1) and e1 > e0 + 5.0
+    f_mu, f_var = model.space_time_predict_f(x)
+    rmse = float(jnp.sqrt(jnp.mean((f_mu - y) ** 2)))
+    assert rmse < 0.35
+    assert np.all(np.asarray(f_var) > 0)
+
+
+def test_st_cvi_trains(rng):
+    x, y, zs, zt, ks, kt = setup(rng)
+    model = SpatioTemporalSparseCVI(
+        inducing_space=zs, inducing_time=zt, kernel_space=ks, kernel_time=kt,
+        likelihood=Gaussian(variance=0.1**2), learning_rate=0.8)
+    e0 = float(model.elbo((x, y)))
+    for _ in range(15):
+        model = model.update_sites((x, y))
+    e1 = float(model.elbo((x, y)))
+    assert np.isfinite(e1) and e1 > e0 + 5.0
+    f_mu, _ = model.space_time_predict_f(x)
+    rmse = float(jnp.sqrt(jnp.mean((f_mu - y) ** 2)))
+    assert rmse < 0.35
