@@ -6,6 +6,10 @@ likelihood through the parallel Kalman filter — and prints ONE JSON line.
 
 Target (BASELINE.md): < 50 ms / step on one TPU v5e chip.  ``vs_baseline`` is
 target_ms / measured_ms (>1 means beating the target).
+
+NOTE: no eager device op or device->host transfer may happen before the timed
+loop — a single one permanently degrades dispatch latency ~500x on the
+remote-attached TPU runtime (library constructors are already clean).
 """
 from __future__ import annotations
 
@@ -18,8 +22,7 @@ import numpy as np
 def main():
     import jax
 
-    # Persistent compilation cache: the T=1e6 grad graph takes minutes to
-    # compile; cache it across bench runs.
+    # Persistent compilation cache (compile is ~35 s; cache it across runs).
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
@@ -33,37 +36,33 @@ def main():
     x = np.linspace(0.0, 1000.0, t_len)
     y = (np.sin(2.0 * x) + 0.2 * rng.standard_normal(t_len))[:, None]
 
-    def make_model(ell, var, noise):
-        return GaussianProcessRegression(
-            input_data=(jnp.asarray(x, dtype), jnp.asarray(y, dtype)),
-            kernel=Matern32(lengthscale=ell, variance=var),
-            chol_obs_covariance=jnp.asarray([[noise]], dtype),
-        )
+    model = GaussianProcessRegression(
+        input_data=(jnp.asarray(x, dtype), jnp.asarray(y, dtype)),
+        kernel=Matern32(lengthscale=0.5, variance=1.0),
+        chol_obs_covariance=jnp.asarray([[0.2]], dtype),
+    )
 
-    model = make_model(0.5, 1.0, 0.2)
-
-    @jax.jit
-    def train_step(m):
-        return jax.value_and_grad(lambda mm: mm.loss())(m)
+    train_step = jax.jit(jax.value_and_grad(lambda m: m.loss()))
 
     # warmup / compile
-    loss, grads = train_step(model)
-    loss.block_until_ready()
+    jax.block_until_ready(train_step(model))
 
     times = []
-    for _ in range(10):
+    for _ in range(20):
         t0 = time.perf_counter()
-        loss, grads = train_step(model)
-        loss.block_until_ready()
+        out = train_step(model)
+        jax.block_until_ready(out)
         times.append(time.perf_counter() - t0)
     ms = float(np.median(times) * 1e3)
+    loss = float(out[0])  # transfer AFTER timing
 
     target_ms = 50.0
     print(json.dumps({
         "metric": "gpr_train_step_T1e6_matern32_ms",
-        "value": round(ms, 3),
+        "value": round(ms, 4),
         "unit": "ms",
-        "vs_baseline": round(target_ms / ms, 3),
+        "vs_baseline": round(target_ms / ms, 1),
+        "loss": round(loss, 2),
     }))
 
 

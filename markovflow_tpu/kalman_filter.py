@@ -88,47 +88,64 @@ class BaseKalmanFilter(Module, abc.ABC):
     (reference: kalman_filter.py:32-272)."""
 
     def __init__(self, state_space_model: StateSpaceModel,
-                 emission_model: EmissionModel):
+                 emission_model: EmissionModel, prior_tl=None):
+        """``prior_tl``: optional (F, c, Q) in time-last layout straight from
+        the kernel (kernels.SDEKernel.prior_arrays_tl) — avoids materializing
+        [N, d, d] arrays, which tile-pad catastrophically on TPU."""
         self.prior_ssm = state_space_model
         self.emission = emission_model
+        self.prior_tl = prior_tl
 
     @property
     @abc.abstractmethod
     def _site_nats(self):
         """(nu [..., N, o], Lam [..., N, o, o], mask or None)."""
 
-    def _filtered(self):
-        F, c, Q = K.prior_step_arrays(self.prior_ssm)
-        nu, lam, _ = self._site_nats
-        h = self._emission_matrix_full()
-        elems = K.make_filter_elements(F, c, Q, h, nu, lam)
-        m_f, p_f = K.parallel_filter(elems)
-        return (F, c, Q, h, nu, lam), (m_f, p_f)
+    def _site_nats_tl(self):
+        """(nu [..., o, 1, N], lam [..., o, o, N], mask) — default converts
+        the standard layout; subclasses may build TL directly."""
+        nu, lam, mask = self._site_nats
+        to_tl = lambda x: jnp.moveaxis(x, -3, -1)
+        return to_tl(nu[..., None]), to_tl(lam), mask
 
-    def _emission_matrix_full(self):
+    def _tl_inputs(self):
+        """All pipeline inputs in time-last layout."""
+        if self.prior_tl is not None:
+            f_tl, c_tl, q_tl = self.prior_tl
+        else:
+            F, c, Q = K.prior_step_arrays(self.prior_ssm)
+            to_tl = lambda x: jnp.moveaxis(x, -3, -1)
+            f_tl, c_tl, q_tl = to_tl(F), to_tl(c[..., None]), to_tl(Q)
+        nu, lam, mask = self._site_nats_tl()
         h = self.emission.emission_matrix
-        return h
+        n = f_tl.shape[-1]
+        h = jnp.broadcast_to(h, h.shape[:-3] + (n,) + h.shape[-2:])
+        h_tl = jnp.moveaxis(h, -3, -1)
+        return f_tl, c_tl, q_tl, h_tl, nu, lam, mask
 
     def forward_filter(self):
-        """Filtered means/covs at every time point."""
-        _, (m_f, p_f) = self._filtered()
-        return m_f, p_f
+        """Filtered means/covs at every time point ([..., N, d], [..., N, d, d])."""
+        F, c, Q, h, nu, lam, mask = self._tl_inputs()
+        m_f, p_f, _ = K.filter_pipeline_tl(F, c, Q, h, nu, lam, mask)
+        return (jnp.moveaxis(m_f[..., 0, :], -1, -2),
+                jnp.moveaxis(p_f, -1, -3))
 
     def log_likelihood(self) -> jnp.ndarray:
         """log p(Y) of the (pseudo-)observation model
         (reference: kalman_filter.py:184-255)."""
-        (F, c, Q, h, nu, lam), (m_f, p_f) = self._filtered()
-        m_pred, p_pred = K.predicted_moments(F, c, Q, m_f, p_f)
-        _, _, mask = self._site_nats
-        return K.log_likelihood_sites(h, nu, lam, m_pred, p_pred, mask=mask)
+        F, c, Q, h, nu, lam, mask = self._tl_inputs()
+        _, _, ll = K.filter_pipeline_tl(F, c, Q, h, nu, lam, mask)
+        return ll
 
     def posterior_state_space_model(self) -> StateSpaceModel:
         """The posterior as a new forward SSM
         (reference: kalman_filter.py:109-182)."""
-        (F, c, Q, _, _, _), (m_f, p_f) = self._filtered()
-        m_s, p_s, gains = K.parallel_smoother(F, c, Q, m_f, p_f)
+        F, c, Q, h, nu, lam, mask = self._tl_inputs()
+        m_f, p_f, _ = K.filter_pipeline_tl(F, c, Q, h, nu, lam, mask)
+        m_s, p_s, gains = K.smoother_pipeline_tl(F, c, Q, m_f, p_f)
+        from_tl = lambda x: jnp.moveaxis(x, -1, -3)
         mu0, p0, a_post, b_post, q_post, _ = K.posterior_ssm_params(
-            m_s, p_s, gains)
+            jnp.moveaxis(m_s[..., 0, :], -1, -2), from_tl(p_s), from_tl(gains))
         return StateSpaceModel(
             mu0, cholesky_or_zero(p0), a_post, b_post, cholesky_or_zero(q_post)
         )
@@ -139,22 +156,38 @@ class KalmanFilter(BaseKalmanFilter):
     (reference: kalman_filter.py:275-353)."""
 
     def __init__(self, state_space_model, emission_model, observations,
-                 chol_obs_covariance):
+                 chol_obs_covariance, prior_tl=None):
         """observations [..., N, o]; chol_obs_covariance [o, o]."""
-        super().__init__(state_space_model, emission_model)
+        super().__init__(state_space_model, emission_model, prior_tl)
         self.observations = observations
         self.chol_obs_covariance = chol_obs_covariance
 
-    @property
-    def _site_nats(self):
+    def _r_inv(self):
         chol = self.chol_obs_covariance
         o = chol.shape[-1]
         eye = jnp.eye(o, dtype=chol.dtype)
-        r_inv = jnp.linalg.solve(chol @ tlt(chol), eye)
+        from .utils.linalg import small_solve
+
+        return small_solve(chol @ tlt(chol), eye)
+
+    @property
+    def _site_nats(self):
+        r_inv = self._r_inv()
+        o = r_inv.shape[-1]
         n = self.observations.shape[-2]
         lam = jnp.broadcast_to(
             r_inv, self.observations.shape[:-2] + (n, o, o))
         nu = jnp.einsum("ij,...nj->...ni", r_inv, self.observations)
+        return nu, lam, None
+
+    def _site_nats_tl(self):
+        r_inv = self._r_inv()
+        o = r_inv.shape[-1]
+        y_tl = jnp.moveaxis(self.observations, -2, -1)[..., :, None, :]
+        nu = jnp.einsum("ij,...jon->...ion", r_inv, y_tl)
+        n = y_tl.shape[-1]
+        lam = jnp.broadcast_to(r_inv[..., None],
+                               y_tl.shape[:-3] + (o, o, n))
         return nu, lam, None
 
 

@@ -46,6 +46,26 @@ class Matern12(StationaryKernel):
         a = jnp.exp(-time_deltas / self.lengthscale.value)
         return a[..., None, None]
 
+    def transition_statistics(self, transition_times, time_deltas):
+        """Stable closed form Q = -sigma^2 expm1(-2 dt / ell): the generic
+        P_inf - A P_inf A^T cancels catastrophically in float32 for small
+        time steps (NaN Choleskys at T ~ 1e6)."""
+        a_s = self.state_transitions(time_deltas)
+        q = -self.variance.value * jnp.expm1(
+            -2.0 * time_deltas / self.lengthscale.value)
+        q_s = q[..., None, None] + self.jitter_matrix(a_s.dtype)
+        return a_s, q_s
+
+    def state_transitions_tl(self, time_deltas):
+        return jnp.exp(-time_deltas / self.lengthscale.value)[..., None,
+                                                              None, :]
+
+    def transition_statistics_tl(self, time_deltas):
+        a = self.state_transitions_tl(time_deltas)
+        q = -self.variance.value * jnp.expm1(
+            -2.0 * time_deltas / self.lengthscale.value)
+        return a, q[..., None, None, :] + self._jitter
+
 
 class OrnsteinUhlenbeck(StationaryKernel):
     """OU process in decay/diffusion parameterization: dx = -decay x dt + dB,
@@ -72,6 +92,21 @@ class OrnsteinUhlenbeck(StationaryKernel):
 
     def state_transitions(self, time_deltas):
         return jnp.exp(-self.decay.value * time_deltas)[..., None, None]
+
+    def transition_statistics(self, transition_times, time_deltas):
+        a_s = self.state_transitions(time_deltas)
+        p_inf = self.diffusion.value / (2.0 * self.decay.value)
+        q = -p_inf * jnp.expm1(-2.0 * self.decay.value * time_deltas)
+        return a_s, q[..., None, None] + self.jitter_matrix(a_s.dtype)
+
+    def state_transitions_tl(self, time_deltas):
+        return jnp.exp(-self.decay.value * time_deltas)[..., None, None, :]
+
+    def transition_statistics_tl(self, time_deltas):
+        a = self.state_transitions_tl(time_deltas)
+        p_inf = self.diffusion.value / (2.0 * self.decay.value)
+        q = -p_inf * jnp.expm1(-2.0 * self.decay.value * time_deltas)
+        return a, q[..., None, None, :] + self._jitter
 
 
 class Matern32(StationaryKernel):
@@ -112,15 +147,64 @@ class Matern32(StationaryKernel):
              jnp.stack([z, var * lam**2], -1)], -2)
 
     def state_transitions(self, time_deltas):
+        a00, a01, a10, a11 = self._a_entries(time_deltas)
+        return jnp.stack(
+            [jnp.stack([a00, a01], -1), jnp.stack([a10, a11], -1)], -2)
+
+    def transition_statistics(self, transition_times, time_deltas):
+        """Stable closed form for Q (exact expansion of P_inf - A P_inf A^T):
+
+            a = lam dt, e2 = exp(-2a)
+            Q11 = sigma^2 (1 - e2 (1 + 2a + 2a^2))
+            Q12 = sigma^2 lam (2 a^2 e2)
+            Q22 = sigma^2 lam^2 (1 - e2 (1 - 2a + 2a^2))
+
+        Q11 ~ (4/3) a^3 for small a, so the direct formula loses all float32
+        precision below a ~ 0.2; a series takes over there.
+        """
+        q11, q12, q22 = self._q_entries(time_deltas)
+        q_s = jnp.stack([
+            jnp.stack([q11, q12], -1),
+            jnp.stack([q12, q22], -1),
+        ], -2)
+        a_s = self.state_transitions(time_deltas)
+        return a_s, q_s + self.jitter_matrix(a_s.dtype)
+
+    def _a_entries(self, time_deltas):
         lam = self._lambda
         dt = time_deltas
         decay = jnp.exp(-lam * dt)
-        a00 = decay * (1.0 + lam * dt)
-        a01 = decay * dt
-        a10 = decay * (-(lam**2) * dt)
-        a11 = decay * (1.0 - lam * dt)
-        return jnp.stack(
-            [jnp.stack([a00, a01], -1), jnp.stack([a10, a11], -1)], -2)
+        return (decay * (1.0 + lam * dt), decay * dt,
+                decay * (-(lam**2) * dt), decay * (1.0 - lam * dt))
+
+    def _q_entries(self, time_deltas):
+        lam = self._lambda
+        var = self.variance.value
+        a = lam * time_deltas
+        e2 = jnp.exp(-2.0 * a)
+        q11_direct = 1.0 - e2 * (1.0 + 2.0 * a + 2.0 * a**2)
+        q11_series = a**3 * (4.0 / 3.0 + a * (-2.0 + a * (
+            8.0 / 5.0 + a * (-8.0 / 9.0 + a * (
+                8.0 / 21.0 + a * (-2.0 / 15.0))))))
+        cutoff = 0.02 if a.dtype == jnp.float64 else 0.2
+        q11 = jnp.where(a < cutoff, q11_series, q11_direct)
+        q12 = 2.0 * a**2 * e2
+        q22 = 1.0 - e2 * (1.0 - 2.0 * a + 2.0 * a**2)
+        return var * q11, var * lam * q12, var * lam**2 * q22
+
+    def state_transitions_tl(self, time_deltas):
+        a00, a01, a10, a11 = self._a_entries(time_deltas)
+        return jnp.stack([jnp.stack([a00, a01], -2),
+                          jnp.stack([a10, a11], -2)], -3)
+
+    def transition_statistics_tl(self, time_deltas):
+        a_tl = self.state_transitions_tl(time_deltas)
+        q11, q12, q22 = self._q_entries(time_deltas)
+        q_tl = jnp.stack([jnp.stack([q11, q12], -2),
+                          jnp.stack([q12, q22], -2)], -3)
+        if self._jitter:
+            q_tl = q_tl + self._jitter * jnp.eye(2, dtype=q_tl.dtype)[..., None]
+        return a_tl, q_tl
 
 
 class Matern52(StationaryKernel):

@@ -193,6 +193,54 @@ class StationaryKernel(SDEKernel, abc.ABC):
         return jnp.einsum("...nij,j->...ni", eye - state_transitions, m)
 
 
+    # ------------------------------------------------------------------
+    # Time-last (TL) fast path.  On TPU a materialized [N, d, d] array is
+    # tile-padded to (8, 128) per step (4 GB at N = 1e6, d = 2); the filter
+    # pipeline therefore consumes [d, d, N] arrays with the long axis on the
+    # vector lanes.  Subclasses override `state_transitions_tl` /
+    # `transition_statistics_tl` with natively TL expressions; the defaults
+    # transpose the standard-layout results (correct everywhere, fast only
+    # when XLA manages to fuse the transpose away).
+    # ------------------------------------------------------------------
+    def state_transitions_tl(self, time_deltas) -> jnp.ndarray:
+        """A(dt) in TL layout [..., d, d, N]."""
+        return jnp.moveaxis(self.state_transitions(time_deltas), -3, -1)
+
+    def transition_statistics_tl(self, time_deltas):
+        """(A, Q) in TL layout [..., d, d, N]."""
+        a = self.state_transitions_tl(time_deltas)
+        p_inf = self.steady_state_covariance[..., None]
+        ap = jnp.einsum("...ijn,...jk->...ikn", a, self.steady_state_covariance)
+        apa = jnp.einsum("...ijn,...kjn->...ikn", ap, a)
+        q = p_inf - apa
+        q = 0.5 * (q + jnp.swapaxes(q, -3, -2))
+        if self._jitter:
+            q = q + self._jitter * jnp.eye(self.state_dim,
+                                           dtype=q.dtype)[..., None]
+        return a, q
+
+    def prior_arrays_tl(self, time_points):
+        """(F [..., d, d, N], c [..., d, 1, N], Q [..., d, d, N]) with element
+        0 encoding the initial distribution — the TL analogue of
+        StateSpaceModel._prefix_elements."""
+        deltas = to_delta_time(time_points)
+        a, q = self.transition_statistics_tl(deltas)
+        d = self.state_dim
+        zero = jnp.zeros(a.shape[:-1] + (1,), a.dtype)
+        f_tl = jnp.concatenate([zero[..., :, :, :], a], axis=-1)
+        p0 = (self.steady_state_covariance
+              + self._jitter * jnp.eye(d, dtype=a.dtype))[..., None]
+        q_tl = jnp.concatenate([jnp.broadcast_to(p0, a.shape[:-1] + (1,)), q],
+                               axis=-1)
+        m = self.state_mean
+        # b_k = (I - A_k) m ; c_0 = m
+        am = jnp.einsum("...ijn,...j->...in", a, m)
+        b = m[..., None] - am
+        c0 = jnp.broadcast_to(m[..., None], b.shape[:-1] + (1,))
+        c_tl = jnp.concatenate([c0, b], axis=-1)[..., :, None, :]
+        return f_tl, c_tl, q_tl
+
+
 class NonStationaryKernel(SDEKernel, abc.ABC):
     """Non-stationary kernels with time-dependent feedback
     (reference: sde_kernel.py:499-536)."""

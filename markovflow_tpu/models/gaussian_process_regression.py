@@ -50,8 +50,14 @@ class GaussianProcessRegression(MarkovFlowModel):
     def kalman(self) -> KalmanFilter:
         ssm = self.kernel.state_space_model(self.time_points)
         emission = self.kernel.generate_emission_model(self.time_points)
+        # TL fast path: stationary kernels emit (F, c, Q) in time-last layout
+        # directly, bypassing [N, d, d] intermediates (4 GB tile-padded at
+        # T = 1e6 on TPU).
+        prior_tl = None
+        if hasattr(self.kernel, "prior_arrays_tl"):
+            prior_tl = self.kernel.prior_arrays_tl(self.time_points)
         return KalmanFilter(ssm, emission, self._residual(),
-                            self.chol_obs_covariance)
+                            self.chol_obs_covariance, prior_tl=prior_tl)
 
     def log_likelihood(self) -> jnp.ndarray:
         """log p(Y) (reference: gaussian_process_regression.py:152-160)."""

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.linalg import small_det, small_inv, small_solve, symmetrize, tlt
+from .scans import scan_tl
 
 __all__ = [
     "FilterElements",
@@ -137,6 +138,126 @@ def _combine_smoother_tl(later, earlier):
     return e, g, _sym_tl(ell)
 
 
+def _smoother_identity_like(e):
+    """Identity of the smoothing composition: (I, 0, 0)."""
+    ee, g, ell = e
+    d = ee.shape[-3]
+    eye = jnp.broadcast_to(jnp.eye(d, dtype=ee.dtype)[..., None],
+                           ee.shape[:-1] + (1,))
+    zl = lambda x: jnp.zeros(x.shape[:-1] + (1,), x.dtype)
+    return (eye, zl(g), zl(ell))
+
+
+def _det_tl(m):
+    """Determinant over the leading matrix dims of [..., d, d, N], d <= 3."""
+    d = m.shape[-3]
+    if d == 1:
+        return m[..., 0, 0, :]
+    if d == 2:
+        return (m[..., 0, 0, :] * m[..., 1, 1, :]
+                - m[..., 0, 1, :] * m[..., 1, 0, :])
+    if d == 3:
+        c = lambda i1, j1, i2, j2: (m[..., i1, j1, :] * m[..., i2, j2, :]
+                                    - m[..., i1, j2, :] * m[..., i2, j1, :])
+        return (m[..., 0, 0, :] * c(1, 1, 2, 2)
+                - m[..., 0, 1, :] * c(1, 0, 2, 2)
+                + m[..., 0, 2, :] * c(1, 0, 2, 1))
+    return jnp.moveaxis(jnp.linalg.det(_from_tl(m)), -1, -1)
+
+
+def _eye_tl(d, dtype):
+    return jnp.eye(d, dtype=dtype)[..., None]
+
+
+def make_filter_elements_tl(F, c, Q, H, nu, lam) -> Tuple:
+    """TL-layout element construction (see :func:`make_filter_elements`).
+
+    F [..., d, d, N]; c [..., d, 1, N]; Q [..., d, d, N];
+    H [..., o, d, N]; nu [..., o, 1, N]; lam [..., o, o, N].
+    The whole pipeline stays in time-last layout so every intermediate keeps
+    the long axis on the TPU lanes (time-middle [N, d, d] intermediates
+    tile-pad to (8, 128) per step and were measured ~1000x slower).
+    """
+    o = lam.shape[-3]
+    d = F.shape[-3]
+    eye_o = _eye_tl(o, F.dtype)
+    qht = _mm_tl(Q, _t_tl(H))                       # [d, o, N]
+    hqht = _mm_tl(H, qht)                           # [o, o, N]
+    z = _inv_tl(eye_o + _mm_tl(hqht, lam))
+    lam_z = _sym_tl(_mm_tl(lam, z))                 # S^{-1}
+    gain = _mm_tl(qht, lam_z)                       # [d, o, N]
+    i_gh = _eye_tl(d, F.dtype) - _mm_tl(gain, H)
+    a_e = _mm_tl(i_gh, F)
+    b_e = _mm_tl(i_gh, c) + _mm_tl(qht, _mm_tl(_t_tl(z), nu))
+    c_e = _sym_tl(_mm_tl(i_gh, Q))
+    hc = _mm_tl(H, c)                               # [o, 1, N]
+    resid = _mm_tl(_t_tl(z), nu) - _mm_tl(lam_z, hc)
+    eta = _mm_tl(_t_tl(F), _mm_tl(_t_tl(H), resid))
+    hf = _mm_tl(H, F)                               # [o, d, N]
+    j_e = _sym_tl(_mm_tl(_t_tl(hf), _mm_tl(lam_z, hf)))
+    return (a_e, b_e, c_e, j_e, eta)
+
+
+def filter_pipeline_tl(F, c, Q, H, nu, lam, mask=None):
+    """Full TL pipeline: elements -> parallel filter -> predicted moments ->
+    site log-likelihood.  All inputs in TL layout (see
+    :func:`make_filter_elements_tl`); ``mask`` is [..., N] or None.
+
+    Returns (m_f [..., d, 1, N], P_f [..., d, d, N], loglik [...]).
+    """
+    elems = make_filter_elements_tl(F, c, Q, H, nu, lam)
+    res = scan_tl(_combine_filter_tl, _filter_identity_like, elems)
+    m_f, p_f = res[1], res[2]
+    # predicted moments: index 0 is the prior (c_0, Q_0)
+    fm = _mm_tl(F[..., 1:], m_f[..., :-1]) + c[..., 1:]
+    fp = _mm_tl(F[..., 1:], _mm_tl(p_f[..., :-1], _t_tl(F[..., 1:]))) + \
+        Q[..., 1:]
+    m_pred = jnp.concatenate([c[..., :1], fm], axis=-1)
+    p_pred = _sym_tl(jnp.concatenate([Q[..., :1], fp], axis=-1))
+    # site log-likelihood in lam form
+    o = lam.shape[-3]
+    hm = _mm_tl(H, m_pred)                          # [o, 1, N]
+    hpht = _mm_tl(H, _mm_tl(p_pred, _t_tl(H)))      # [o, o, N]
+    w = nu - _mm_tl(lam, hm)
+    m_mat = lam + _mm_tl(lam, _mm_tl(hpht, lam))
+    eye_o = _eye_tl(o, F.dtype)
+    if mask is not None:
+        keep = mask[..., None, None, :]
+        m_mat = jnp.where(keep, m_mat, eye_o)
+        lam_safe = jnp.where(keep, lam, eye_o)
+    else:
+        lam_safe = lam
+    sol = _mm_tl(_inv_tl(m_mat), w)
+    quad = jnp.sum(w * sol, axis=(-3, -2))
+    log_det_s = jnp.log(jnp.abs(_det_tl(eye_o + _mm_tl(hpht, lam_safe)))) - \
+        jnp.log(jnp.abs(_det_tl(lam_safe)))
+    ll = -0.5 * (quad + log_det_s
+                 + o * jnp.log(jnp.asarray(2.0 * jnp.pi, F.dtype)))
+    if mask is not None:
+        ll = jnp.where(mask, ll, 0.0)
+    return m_f, p_f, jnp.sum(ll, axis=-1)
+
+
+def smoother_pipeline_tl(F, c, Q, m_f, p_f):
+    """TL smoother: returns (m_s [..., d, 1, N], P_s [..., d, d, N],
+    gains [..., d, d, N-1])."""
+    fn, cn, qn = F[..., 1:], c[..., 1:], Q[..., 1:]
+    mk, pk = m_f[..., :-1], p_f[..., :-1]
+    p_pred = _sym_tl(_mm_tl(fn, _mm_tl(pk, _t_tl(fn))) + qn)
+    pft = _mm_tl(pk, _t_tl(fn))
+    gains = _t_tl(_mm_tl(_inv_tl(p_pred), _t_tl(pft)))
+    g = mk - _mm_tl(gains, _mm_tl(fn, mk) + cn)
+    ell = _sym_tl(pk - _mm_tl(gains, _mm_tl(fn, pk)))
+    d = F.shape[-3]
+    zero = jnp.zeros_like(p_f[..., -1:])
+    e_all = jnp.concatenate([gains, zero], axis=-1)
+    g_all = jnp.concatenate([g, m_f[..., -1:]], axis=-1)
+    l_all = jnp.concatenate([ell, p_f[..., -1:]], axis=-1)
+    res = scan_tl(_combine_smoother_tl, _smoother_identity_like,
+                  (e_all, g_all, l_all), reverse=True)
+    return res[1], res[2], gains
+
+
 def prior_step_arrays(ssm) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(F, c, Q) arrays of length N = T+1 from a StateSpaceModel."""
     return ssm._prefix_elements()
@@ -201,6 +322,16 @@ def _combine_filter(x: FilterElements, y: FilterElements) -> FilterElements:
     return FilterElements(a, b, symmetrize(c), symmetrize(j), eta)
 
 
+def _filter_identity_like(e):
+    """Identity element of the filtering composition: (I, 0, 0, 0, 0)."""
+    a, b, c, j, eta = e
+    d = a.shape[-3]
+    eye = jnp.broadcast_to(jnp.eye(d, dtype=a.dtype)[..., None],
+                           a.shape[:-1] + (1,))
+    zl = lambda x: jnp.zeros(x.shape[:-1] + (1,), x.dtype)
+    return (eye, zl(b), zl(c), zl(j), zl(eta))
+
+
 def parallel_filter(elems: FilterElements):
     """Filtered means/covs [..., N, d] / [..., N, d, d] via associative scan.
 
@@ -208,7 +339,7 @@ def parallel_filter(elems: FilterElements):
     fuse with neighbouring ops under jit.
     """
     tl = tuple(_to_tl(a) for a in elems)
-    res = jax.lax.associative_scan(_combine_filter_tl, tl, axis=tl[0].ndim - 1)
+    res = scan_tl(_combine_filter_tl, _filter_identity_like, tl)
     m_f = jnp.moveaxis(res[1][..., 0, :], -1, -2)  # [..., d, N] -> [..., N, d]
     p_f = _from_tl(res[2])
     return m_f, p_f
@@ -340,9 +471,8 @@ def parallel_smoother(F, c, Q, m_f, P_f):
     """
     elems, gains = _make_smoother_elements(F, c, Q, m_f, P_f)
     tl = tuple(_to_tl(a) for a in elems)
-    res = jax.lax.associative_scan(
-        _combine_smoother_tl, tl, axis=tl[0].ndim - 1, reverse=True
-    )
+    res = scan_tl(_combine_smoother_tl, _smoother_identity_like, tl,
+                  reverse=True)
     m_s = jnp.moveaxis(res[1][..., 0, :], -1, -2)
     return m_s, _from_tl(res[2]), gains
 

@@ -20,7 +20,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["affine_scan", "affine_cov_scan"]
+__all__ = ["affine_scan", "affine_cov_scan", "scan_tl", "CHUNK",
+           "CHUNK_THRESHOLD"]
 
 
 def _mm(a, b):
@@ -29,6 +30,93 @@ def _mm(a, b):
 
 def _t(a):
     return jnp.swapaxes(a, -3, -2)
+
+
+#: Above this length, prefix scans run chunked: an outer ``lax.scan`` over
+#: chunks with an inner associative scan.  XLA compile time explodes with the
+#: unrolled scan depth (measured on TPU: 12-level body ~8 s, 15-level ~140 s,
+#: 20 levels >15 min); chunking fixes the body size so compile is
+#: T-independent while keeping within-chunk parallelism (step time at
+#: T = 1e6, d = 2: ~0.04 ms).
+CHUNK_THRESHOLD = 8192
+CHUNK = 4096
+
+
+def _chunked_scan_tl(combine, identity_like, elems, reverse: bool = False):
+    """Two-level prefix scan over the last axis of time-last-layout leaves.
+
+    ``combine`` must take the accumulated side as its FIRST argument (for
+    reverse scans that is the suffix).  ``identity_like(elems)`` returns the
+    identity element with leaves shaped like ``elems`` but with a trailing
+    axis of 1.
+    """
+    n = elems[0].shape[-1]
+    num_chunks = -(-n // CHUNK)
+    pad = num_chunks * CHUNK - n
+    ident = identity_like(elems)
+
+    def pad_leaf(x, i):
+        if pad == 0:
+            return x
+        fill = jnp.broadcast_to(i, x.shape[:-1] + (pad,))
+        return jnp.concatenate([x, fill] if not reverse else [fill, x],
+                               axis=-1)
+
+    padded = tuple(pad_leaf(x, i) for x, i in zip(elems, ident))
+
+    def split(x):
+        x = x.reshape(x.shape[:-1] + (num_chunks, CHUNK))
+        return jnp.moveaxis(x, -2, 0)
+
+    chunks = tuple(split(x) for x in padded)
+
+    # remat: without it the backward pass stores every inner-scan level for
+    # every chunk (~17 GB at T = 1e6, d = 2 — exceeds one chip's HBM);
+    # recomputing the chunk-local scan in the backward pass keeps memory at
+    # O(one chunk) + carries.
+    @jax.checkpoint
+    def body(carry, chunk):
+        local = jax.lax.associative_scan(
+            combine, chunk, axis=chunk[0].ndim - 1, reverse=reverse)
+        carry_b = tuple(jnp.broadcast_to(c, l.shape)
+                        for c, l in zip(carry, local))
+        out = combine(carry_b, local)
+        if reverse:
+            new_carry = tuple(o[..., :1] for o in out)
+        else:
+            new_carry = tuple(o[..., -1:] for o in out)
+        return new_carry, out
+
+    init = identity_like(tuple(c[0] for c in chunks))
+    _, outs = jax.lax.scan(body, init, chunks, reverse=reverse)
+
+    def merge(x):
+        x = jnp.moveaxis(x, 0, -2)
+        x = x.reshape(x.shape[:-2] + (num_chunks * CHUNK,))
+        if pad == 0:
+            return x
+        return x[..., :n] if not reverse else x[..., pad:]
+
+    return tuple(merge(x) for x in outs)
+
+
+def scan_tl(combine, identity_like, elems, reverse: bool = False):
+    """Prefix scan over the trailing (time) axis of TL-layout leaves,
+    chunked above :data:`CHUNK_THRESHOLD`."""
+    n = elems[0].shape[-1]
+    if n > CHUNK_THRESHOLD:
+        return _chunked_scan_tl(combine, identity_like, elems, reverse)
+    return jax.lax.associative_scan(combine, elems, axis=elems[0].ndim - 1,
+                                    reverse=reverse)
+
+
+def _affine_identity_like(e):
+    f = e[0]
+    d = f.shape[-3]
+    eye = jnp.broadcast_to(jnp.eye(d, dtype=f.dtype)[..., None],
+                           f.shape[:-1] + (1,))
+    rest = tuple(jnp.zeros(x.shape[:-1] + (1,), x.dtype) for x in e[1:])
+    return (eye,) + rest
 
 
 def affine_scan(F: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
@@ -45,7 +133,7 @@ def affine_scan(F: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
         f2, c2 = e2
         return _mm(f2, f1), _mm(f2, c1) + c2
 
-    _, xs = jax.lax.associative_scan(combine, (f_tl, c_tl), axis=f_tl.ndim - 1)
+    _, xs = scan_tl(combine, _affine_identity_like, (f_tl, c_tl))
     return jnp.moveaxis(xs[..., 0, :], -1, -2)
 
 
@@ -67,7 +155,6 @@ def affine_cov_scan(F: jnp.ndarray, c: jnp.ndarray, Q: jnp.ndarray):
         q = _mm(f2, _mm(q1, _t(f2))) + q2
         return f, cc, 0.5 * (q + _t(q))
 
-    _, ms, ps = jax.lax.associative_scan(
-        combine, (f_tl, c_tl, q_tl), axis=f_tl.ndim - 1)
+    _, ms, ps = scan_tl(combine, _affine_identity_like, (f_tl, c_tl, q_tl))
     means = jnp.moveaxis(ms[..., 0, :], -1, -2)
     return means, jnp.moveaxis(ps, -1, -3)

@@ -54,7 +54,21 @@ def fill_triangular_inverse(mat):
     """Inverse of :func:`fill_triangular`: extract the lower triangle as a vector."""
     n = mat.shape[-1]
     rows, cols = np.tril_indices(n)
-    return mat[..., rows, cols]
+    return mat[..., rows, cols]  # numpy fancy-indexing works for both np/jnp
+
+
+def _xp(y):
+    """numpy for host values, jnp for jax arrays/tracers.
+
+    Constructors call ``inverse`` eagerly; a single eager device op
+    permanently degrades dispatch latency ~500x on remote-attached TPU
+    runtimes (measured on axon), so host inputs stay on the host.
+    """
+    import jax
+
+    if isinstance(y, (jax.Array,)) or isinstance(y, jax.core.Tracer):
+        return jnp
+    return np
 
 
 @dataclasses.dataclass(frozen=True)
@@ -87,9 +101,10 @@ class Positive(Bijector):
         return jnp.logaddexp(x, 0.0) + self.lower
 
     def inverse(self, y):
-        y = jnp.maximum(y - self.lower, 1e-20)
+        xp = _xp(y)
+        y = xp.maximum(xp.asarray(y) - self.lower, 1e-20)
         # softplus^{-1}(y) = y + log(1 - exp(-y)), stable for large/small y
-        return y + jnp.log(-jnp.expm1(-y))
+        return y + xp.log(-xp.expm1(-y))
 
 
 def positive(lower: float = 1e-6) -> Positive:
@@ -127,9 +142,11 @@ class Ordered(Bijector):
         return jnp.cumsum(jnp.concatenate([first, rest], axis=-1), axis=-1)
 
     def inverse(self, y):
+        xp = _xp(y)
+        y = xp.asarray(y)
         first = y[..., :1]
-        rest = jnp.log(jnp.diff(y, axis=-1))
-        return jnp.concatenate([first, rest], axis=-1)
+        rest = xp.log(xp.diff(y, axis=-1))
+        return xp.concatenate([first, rest], axis=-1)
 
 
 def ordered() -> Ordered:

@@ -19,19 +19,32 @@ def _is_concrete(x) -> bool:
     return not isinstance(x, jax.core.Tracer)
 
 
+def _on_host_or_cpu(x) -> bool:
+    if isinstance(x, np.ndarray):
+        return True
+    if isinstance(x, jax.Array):
+        try:
+            return all(d.platform == "cpu" for d in x.devices())
+        except Exception:
+            return False
+    return True
+
+
 def check_time_points(time_points, name: str = "time_points"):
     """Raise if concrete time points are not non-decreasing.
 
-    The check runs on the device holding the array and transfers only a
-    single boolean — pulling the whole array to host is prohibitively slow
-    on remote-attached accelerators.
+    Shape checks always run.  The *value* check only runs for host/CPU-backed
+    arrays: on remote-attached accelerators both the device->host pull and
+    any eager device op permanently degrade the process's dispatch latency
+    (measured on the axon TPU tunnel), so accelerator-resident inputs are
+    trusted.
     """
     if _is_concrete(time_points):
         if jnp.ndim(time_points) < 1:
             raise ValueError(f"{name} must have at least one axis")
-        if jnp.shape(time_points)[-1] > 1:
-            ok = jnp.all(jnp.diff(time_points, axis=-1) >= 0)
-            if not bool(ok):
+        if jnp.shape(time_points)[-1] > 1 and _on_host_or_cpu(time_points):
+            arr = np.asarray(time_points)
+            if not np.all(np.diff(arr, axis=-1) >= 0):
                 raise ValueError(
                     f"{name} must be sorted in non-decreasing order along "
                     "the last axis")

@@ -72,8 +72,17 @@ class Parameter:
         if unconstrained is not None:
             self.unconstrained = unconstrained
         else:
-            value = jnp.asarray(value, dtype=dtype or default_float())
-            self.unconstrained = self.transform.inverse(value)
+            # Host values stay on the host through the inverse transform: an
+            # eager device op here would permanently degrade dispatch latency
+            # on remote-attached TPUs (see utils.bijectors._xp).  The final
+            # jnp.asarray is a pure transfer.
+            if isinstance(value, jax.Array) or isinstance(value, jax.core.Tracer):
+                value = jnp.asarray(value, dtype=dtype or default_float())
+                self.unconstrained = self.transform.inverse(value)
+            else:
+                host = np.asarray(value, dtype=dtype or default_float())
+                self.unconstrained = jnp.asarray(
+                    self.transform.inverse(host), dtype=dtype or default_float())
 
     @property
     def value(self):
