@@ -482,13 +482,16 @@ class StackKernel(StationaryKernel):
 
     def generate_emission_model(self, time_points):
         """time_points [..., num_kernels, N] -> StackEmissionModel with
-        emission [..., num_kernels, N, 1, d]."""
+        emission [..., num_kernels, N, 1, d].  Each row is the child's own
+        (stationary) emission row zero-padded to the common state dim, so
+        composite children (Sum/Product) emit correctly."""
         n = time_points.shape[-1]
         d = self.state_dim
+        probe = jnp.zeros((1,), default_float())
         rows = []
         for k in self.kernels:
-            h = jnp.zeros((1, d), default_float()).at[0, 0].set(1.0)
-            rows.append(h)
+            h_child = k.generate_emission_model(probe).emission_matrix[0]
+            rows.append(augment_matrix(h_child, d - h_child.shape[-1]))
         h_all = jnp.stack(rows, axis=0)[..., :, None, :, :]  # [K, 1, 1, d]
         shape = time_points.shape[:-1] + (n, 1, d)
         return StackEmissionModel(jnp.broadcast_to(h_all, shape))
