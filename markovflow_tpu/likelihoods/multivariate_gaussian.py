@@ -14,6 +14,9 @@ __all__ = ["MultivariateGaussian"]
 
 
 class MultivariateGaussian(Likelihood):
+    #: posterior.predict_y must pass full [out, out] covariances
+    needs_full_cov = True
+
     """y = f + eps, eps ~ N(0, L L^T) with trainable Cholesky L.
 
     Analytic variational expectation -1/2 Tr(Sigma^{-1} S) + log N(y; mu, Sigma)

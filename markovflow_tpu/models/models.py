@@ -6,7 +6,7 @@ import abc
 import jax.numpy as jnp
 
 from ..posterior import PosteriorProcess
-from ..utils.module import Module
+from ..utils.module import Module, log_prior_density
 
 __all__ = ["MarkovFlowModel", "MarkovFlowSparseModel"]
 
@@ -23,6 +23,11 @@ class MarkovFlowModel(Module, abc.ABC):
     @abc.abstractmethod
     def posterior(self) -> PosteriorProcess:
         ...
+
+    def log_prior_density(self) -> jnp.ndarray:
+        """Sum of hyperparameter prior log densities
+        (reference: models.py; zero when no priors are set)."""
+        return log_prior_density(self)
 
     def predict_state(self, new_time_points):
         return self.posterior.predict_state(new_time_points)

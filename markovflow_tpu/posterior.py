@@ -146,7 +146,9 @@ class AnalyticPosteriorProcess(ConditionalProcess):
 
     def predict_y(self, new_time_points):
         """(reference: posterior.py:445-467)."""
-        f_means, f_covs = self.predict_f(new_time_points)
+        full = getattr(self.likelihood, "needs_full_cov", False)
+        f_means, f_covs = self.predict_f(new_time_points,
+                                         full_output_cov=full)
         return self.likelihood.predict_mean_and_var(f_means, f_covs)
 
 

@@ -33,6 +33,7 @@ __all__ = [
     "trainable_mask",
     "zero_untrainable",
     "module_flatten",
+    "log_prior_density",
 ]
 
 
@@ -64,11 +65,15 @@ class Parameter:
         transform: Bijector | None = None,
         trainable: bool = True,
         *,
+        prior=None,
         unconstrained=None,
         dtype=None,
     ):
+        """``prior``: optional callable ``value -> log density`` (static,
+        enables ``log_prior_density``; replaces gpflow parameter priors)."""
         self.transform = transform if transform is not None else Identity()
         self.trainable = bool(trainable)
+        self.prior = prior
         if unconstrained is not None:
             self.unconstrained = unconstrained
         else:
@@ -104,6 +109,7 @@ class Parameter:
         return Parameter(
             transform=self.transform,
             trainable=self.trainable,
+            prior=self.prior,
             unconstrained=unconstrained,
         )
 
@@ -114,12 +120,13 @@ class Parameter:
         )
 
     def tree_flatten(self):
-        return (self.unconstrained,), (self.transform, self.trainable)
+        return (self.unconstrained,), (self.transform, self.trainable,
+                                       self.prior)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = object.__new__(cls)
-        obj.transform, obj.trainable = aux
+        obj.transform, obj.trainable, obj.prior = aux
         (obj.unconstrained,) = children
         return obj
 
@@ -213,3 +220,18 @@ def zero_untrainable(grads, mask: list):
 def apply_updates(tree, updates):
     """tree + updates, leafwise (both pytrees with identical structure)."""
     return jax.tree_util.tree_map(lambda t, u: t + u, tree, updates)
+
+
+def log_prior_density(tree) -> "jnp.ndarray":
+    """Sum of parameter prior log densities over the pytree.
+
+    Replaces the reference's ``log_prior_density`` (gpflow parameter priors,
+    reference: markovflow/models/models.py).  Parameters without a prior
+    contribute zero.
+    """
+    total = jnp.zeros(())
+    leaves = jax.tree_util.tree_leaves(tree, is_leaf=_is_param)
+    for leaf in leaves:
+        if _is_param(leaf) and leaf.prior is not None:
+            total = total + jnp.sum(leaf.prior(leaf.value))
+    return total

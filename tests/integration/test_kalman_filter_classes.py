@@ -1,0 +1,91 @@
+"""Kalman filter class API tests
+(pattern: reference tests/integration/test_kalman_filter_with_sparse_sites.py:69-104)."""
+import jax.numpy as jnp
+import numpy as np
+from numpy.testing import assert_allclose
+
+from markovflow_tpu.conditionals import cyclic_reduction_conditional_statistics
+from markovflow_tpu.kalman_filter import (
+    KalmanFilter,
+    KalmanFilterWithSites,
+    KalmanFilterWithSparseSites,
+    UnivariateGaussianSitesNat,
+)
+from markovflow_tpu.kernels import Matern32
+
+
+def _setup(rng, n=12):
+    x = np.sort(rng.uniform(0, 5, n))
+    kernel = Matern32(lengthscale=0.8, variance=1.1)
+    ssm = kernel.state_space_model(jnp.asarray(x))
+    em = kernel.generate_emission_model(jnp.asarray(x))
+    return x, kernel, ssm, em
+
+
+def test_sparse_sites_match_dense_subset(rng):
+    """A KalmanFilterWithSparseSites on a grid == KalmanFilterWithSites on
+    the observed subset of the grid."""
+    n = 15
+    grid = np.linspace(0, 5, n)
+    obs_idx = np.array([1, 4, 5, 9, 14])
+    y = rng.standard_normal((len(obs_idx), 1))
+    noise_prec = 4.0
+
+    kernel = Matern32(lengthscale=0.8, variance=1.1)
+    ssm_grid = kernel.state_space_model(jnp.asarray(grid))
+    em_grid = kernel.generate_emission_model(jnp.asarray(grid))
+    sites = UnivariateGaussianSitesNat(
+        nat1=jnp.asarray(y * noise_prec),
+        nat2=jnp.full((len(obs_idx), 1, 1), -0.5 * noise_prec))
+    kf_sparse = KalmanFilterWithSparseSites(
+        ssm_grid, em_grid, sites, n, jnp.asarray(obs_idx), jnp.asarray(y))
+
+    # oracle: dense KalmanFilter on the observed subset only
+    x_obs = grid[obs_idx]
+    ssm_obs = kernel.state_space_model(jnp.asarray(x_obs))
+    em_obs = kernel.generate_emission_model(jnp.asarray(x_obs))
+    kf_dense = KalmanFilter(ssm_obs, em_obs, jnp.asarray(y),
+                            jnp.asarray([[1.0 / np.sqrt(noise_prec)]]))
+    assert_allclose(float(kf_sparse.log_likelihood()),
+                    float(kf_dense.log_likelihood()), rtol=1e-9)
+
+    # posterior at the observed points agrees
+    post_sparse = kf_sparse.posterior_state_space_model()
+    post_dense = kf_dense.posterior_state_space_model()
+    means_sparse = np.asarray(post_sparse.marginal_means)[obs_idx]
+    means_dense = np.asarray(post_dense.marginal_means)
+    assert_allclose(means_sparse, means_dense, atol=1e-8)
+
+
+def test_kalman_filter_with_sites_equals_kalman_filter(rng):
+    x, kernel, ssm, em = _setup(rng)
+    y = rng.standard_normal((len(x), 1))
+    noise_var = 0.25
+    kf = KalmanFilter(ssm, em, jnp.asarray(y),
+                      jnp.asarray([[np.sqrt(noise_var)]]))
+    sites = UnivariateGaussianSitesNat(
+        nat1=jnp.asarray(y / noise_var),
+        nat2=jnp.full((len(x), 1, 1), -0.5 / noise_var))
+    kfs = KalmanFilterWithSites(ssm, em, sites)
+    assert_allclose(float(kf.log_likelihood()), float(kfs.log_likelihood()),
+                    rtol=1e-10)
+    m1, _ = kf.forward_filter()
+    m2, _ = kfs.forward_filter()
+    assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-10)
+
+
+def test_cyclic_reduction_statistics_consistency(rng):
+    """CR conditional stats agree with the generic conditional_statistics for
+    interior odd points (reference: conditionals.py:258-376)."""
+    from markovflow_tpu.conditionals import conditional_statistics
+
+    x = np.sort(rng.uniform(0, 5, 9))
+    kernel = Matern32(lengthscale=0.8, variance=1.1)
+    p_cr, off_cr, t_cr = cyclic_reduction_conditional_statistics(
+        jnp.asarray(x), kernel)
+    odd = jnp.asarray(x[1::2])
+    even = jnp.asarray(x[0::2])
+    p_g, off_g, t_g, _ = conditional_statistics(odd, even, kernel)
+    assert_allclose(np.asarray(p_cr), np.asarray(p_g), atol=1e-9)
+    assert_allclose(np.asarray(t_cr), np.asarray(t_g), atol=1e-9)
+    assert_allclose(np.asarray(off_cr), np.asarray(off_g), atol=1e-9)
