@@ -137,6 +137,15 @@ class BaseKalmanFilter(Module, abc.ABC):
         _, _, ll = K.filter_pipeline_tl(F, c, Q, h, nu, lam, mask)
         return ll
 
+    def posterior_marginals(self):
+        """Smoothed means/covs ([..., N, d], [..., N, d, d]) straight from
+        the TL pipeline — no posterior-SSM materialization."""
+        F, c, Q, h, nu, lam, mask = self._tl_inputs()
+        m_f, p_f, _ = K.filter_pipeline_tl(F, c, Q, h, nu, lam, mask)
+        m_s, p_s, _ = K.smoother_pipeline_tl(F, c, Q, m_f, p_f)
+        return (jnp.moveaxis(m_s[..., 0, :], -1, -2),
+                jnp.moveaxis(p_s, -1, -3))
+
     def posterior_state_space_model(self) -> StateSpaceModel:
         """The posterior as a new forward SSM
         (reference: kalman_filter.py:109-182)."""
@@ -194,8 +203,9 @@ class KalmanFilter(BaseKalmanFilter):
 class KalmanFilterWithSites(BaseKalmanFilter):
     """Time-varying Gaussian sites (reference: kalman_filter.py:437-497)."""
 
-    def __init__(self, state_space_model, emission_model, sites: GaussianSites):
-        super().__init__(state_space_model, emission_model)
+    def __init__(self, state_space_model, emission_model, sites: GaussianSites,
+                 prior_tl=None):
+        super().__init__(state_space_model, emission_model, prior_tl)
         self.sites = sites
 
     @property

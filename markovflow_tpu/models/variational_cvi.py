@@ -85,8 +85,21 @@ class GaussianProcessWithSitesBase(MarkovFlowModel):
 
     @property
     def dist_q(self) -> StateSpaceModel:
-        """Conjugate posterior: prior naturals + back-projected site naturals
-        (reference: variational_cvi.py:105-135)."""
+        """Conjugate posterior q(s) = p(s) prod_k t_k(f_k).
+
+        Computed as the posterior SSM of the site Kalman filter — the
+        parallel-scan path (O(log T) depth) — instead of the reference's
+        precision-space conjugate update + banded naturals inversion
+        (reference: variational_cvi.py:105-135), which needs a sequential
+        backward factorization.  Both give the (unique) forward Markov
+        parameterization; see :meth:`dist_q_naturals`.
+        """
+        return self.posterior_kalman.posterior_state_space_model()
+
+    @property
+    def dist_q_naturals(self) -> StateSpaceModel:
+        """Reference-style construction through natural parameters
+        (reference: variational_cvi.py:105-135) — kept for parity/testing."""
         from ..ssm_gaussian_transformations import ssm_to_naturals
 
         theta_linear, theta_diag, theta_subdiag = ssm_to_naturals(self.dist_p)
@@ -99,7 +112,11 @@ class GaussianProcessWithSitesBase(MarkovFlowModel):
     @property
     def posterior_kalman(self) -> KalmanFilterWithSites:
         """(reference: variational_cvi.py:137-144)."""
-        return KalmanFilterWithSites(self.dist_p, self.emission, self.sites)
+        prior_tl = None
+        if hasattr(self.kernel, "prior_arrays_tl"):
+            prior_tl = self.kernel.prior_arrays_tl(self.time_points)
+        return KalmanFilterWithSites(self.dist_p, self.emission, self.sites,
+                                     prior_tl=prior_tl)
 
     def log_likelihood(self) -> jnp.ndarray:
         return self.posterior_kalman.log_likelihood()
@@ -115,8 +132,9 @@ class GaussianProcessWithSitesBase(MarkovFlowModel):
         )
 
     def _f_marginals(self):
-        """q(f) marginals at the training points (fast path: project dist_q)."""
-        means, covs = self.dist_q.marginals
+        """q(f) marginals at the training points — smoothed marginals from
+        the TL filter/smoother pipeline (no posterior-SSM materialization)."""
+        means, covs = self.posterior_kalman.posterior_marginals()
         em = self.emission
         f_mu, f_var = em.project_state_marginals_to_f(means, covs)
         if self.mean_function is not None:

@@ -205,6 +205,11 @@ def filter_pipeline_tl(F, c, Q, H, nu, lam, mask=None):
 
     Returns (m_f [..., d, 1, N], P_f [..., d, d, N], loglik [...]).
     """
+    # Materialize the inputs once: fusing their producer chains (kernel
+    # discretization) into the scan/likelihood consumers hangs XLA's
+    # forward-only TPU compile for >15 min (see ops.scans.scan_tl).
+    F, c, Q, H, nu, lam = jax.lax.optimization_barrier(
+        (F, c, Q, H, nu, lam))
     elems = make_filter_elements_tl(F, c, Q, H, nu, lam)
     res = scan_tl(_combine_filter_tl, _filter_identity_like, elems)
     m_f, p_f = res[1], res[2]

@@ -102,8 +102,17 @@ def _chunked_scan_tl(combine, identity_like, elems, reverse: bool = False):
 
 def scan_tl(combine, identity_like, elems, reverse: bool = False):
     """Prefix scan over the trailing (time) axis of TL-layout leaves,
-    chunked above :data:`CHUNK_THRESHOLD`."""
+    chunked above :data:`CHUNK_THRESHOLD`.
+
+    The optimization_barrier stops XLA from fusing the element-producer
+    chain (kernel discretization etc.) into the scan: without it the
+    forward-only compile of producer+scan graphs hangs for >15 minutes on
+    TPU (measured; gradient graphs of the same program compile fine).  The
+    barrier materializes the elements once, in TL layout, which the scan
+    reads anyway.
+    """
     n = elems[0].shape[-1]
+    elems = jax.lax.optimization_barrier(tuple(elems))
     if n > CHUNK_THRESHOLD:
         return _chunked_scan_tl(combine, identity_like, elems, reverse)
     return jax.lax.associative_scan(combine, elems, axis=elems[0].ndim - 1,
