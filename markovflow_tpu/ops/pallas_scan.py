@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pallas_filter_scan", "PALLAS_CHUNK"]
+__all__ = ["pallas_filter_scan", "pallas_smoother_scan", "PALLAS_CHUNK"]
 
 PALLAS_CHUNK = 2048
 
@@ -135,6 +135,111 @@ def _kernel(a_ref, b_ref, c_ref, j_ref, e_ref, mb_ref, pc_ref,
     carry_c[...] = out[2][..., -1:]
     carry_j[...] = out[3][..., -1:]
     carry_e[...] = out[4][..., -1:]
+
+
+def _combine_smoother(later, earlier):
+    """Smoothing composition (reverse scan): result = earlier (x) later."""
+    le, lg, ll = later
+    ee, eg, el = earlier
+    e = _mm(ee, le)
+    g = _mm(ee, lg) + eg
+    ell = _mm(ee, _mm(ll, _t(ee))) + el
+    return e, g, ell
+
+
+def _smoother_identity(d, db, chunk, dtype):
+    eye = jnp.broadcast_to(jnp.eye(d, dtype=dtype)[..., None], (d, d, chunk))
+    return (eye, jnp.zeros((d, db, chunk), dtype),
+            jnp.zeros((d, d, chunk), dtype))
+
+
+def _smoother_kernel(e_ref, g_ref, l_ref, mg_ref, pl_ref,
+                     carry_e, carry_g, carry_l, *, chunk):
+    d = e_ref.shape[0]
+    db = g_ref.shape[1]
+    dtype = e_ref.dtype
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        ident = _smoother_identity(d, db, 1, dtype)
+        carry_e[...] = ident[0]
+        carry_g[...] = ident[1]
+        carry_l[...] = ident[2]
+
+    run = (e_ref[...], g_ref[...], l_ref[...])
+    ident = _smoother_identity(d, db, chunk, dtype)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (d, d, chunk), dimension=2)
+    lane_b = jax.lax.broadcasted_iota(jnp.int32, (d, db, chunk), dimension=2)
+
+    # reverse Hillis-Steele: suffix scan within the chunk
+    # (roll left by k == circular roll right by chunk - k; pltpu.roll
+    # requires non-negative shifts)
+    k = 1
+    while k < chunk:
+        shifted = tuple(pltpu.roll(r, chunk - k, 2) for r in run)
+        masks = (lane >= chunk - k, lane_b >= chunk - k, lane >= chunk - k)
+        shifted = tuple(jnp.where(m, idl, s)
+                        for m, idl, s in zip(masks, ident, shifted))
+        run = _combine_smoother(shifted, run)
+        k *= 2
+
+    carry = (carry_e[...], carry_g[...], carry_l[...])
+    carry_b = tuple(jnp.broadcast_to(cc, r.shape)
+                    for cc, r in zip(carry, run))
+    out = _combine_smoother(carry_b, run)
+    mg_ref[...] = out[1]
+    pl_ref[...] = out[2]
+    carry_e[...] = out[0][..., :1]
+    carry_g[...] = out[1][..., :1]
+    carry_l[...] = out[2][..., :1]
+
+
+def pallas_smoother_scan(elems, *, chunk: int = PALLAS_CHUNK,
+                         interpret: bool = False):
+    """Reverse (suffix) smoothing scan: elems = (E [d,d,N], g [d,1,N],
+    L [d,d,N]) in TL layout, unbatched.  Returns (m_s [d,1,N], P_s [d,d,N]).
+
+    Grid runs back-to-front; the carry holds the suffix combination of all
+    later chunks.
+    """
+    e, g, l = elems
+    d = e.shape[0]
+    db = g.shape[1]
+    n = e.shape[-1]
+    num_chunks = -(-n // chunk)
+    pad = num_chunks * chunk - n
+    if pad:
+        ident = _smoother_identity(d, db, pad, e.dtype)
+        # pad at the FRONT for a reverse scan
+        e = jnp.concatenate([ident[0], e], axis=-1)
+        g = jnp.concatenate([ident[1], g], axis=-1)
+        l = jnp.concatenate([ident[2], l], axis=-1)
+
+    mat_spec = pl.BlockSpec((d, d, chunk),
+                            lambda i: (0, 0, pl.num_programs(0) - 1 - i),
+                            memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((d, db, chunk),
+                            lambda i: (0, 0, pl.num_programs(0) - 1 - i),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_smoother_kernel, chunk=chunk),
+        grid=(num_chunks,),
+        in_specs=[mat_spec, vec_spec, mat_spec],
+        out_specs=(vec_spec, mat_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((d, db, num_chunks * chunk), e.dtype),
+            jax.ShapeDtypeStruct((d, d, num_chunks * chunk), e.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((d, d, 1), e.dtype),
+            pltpu.VMEM((d, db, 1), e.dtype),
+            pltpu.VMEM((d, d, 1), e.dtype),
+        ],
+        interpret=interpret,
+    )(e, g, l)
+    m_s, p_s = out
+    return m_s[..., pad:], p_s[..., pad:]
 
 
 def pallas_filter_scan(elems, *, chunk: int = PALLAS_CHUNK,

@@ -33,3 +33,35 @@ def test_pallas_scan_matches_reference(rng, d, t_len):
     p_got = jnp.moveaxis(p_tl, -1, -3)
     assert_allclose(np.asarray(m_got), np.asarray(m_ref), atol=1e-9)
     assert_allclose(np.asarray(p_got), np.asarray(p_ref), atol=1e-9)
+
+
+@pytest.mark.parametrize("t_len", [50, 130])
+def test_pallas_smoother_matches_reference(rng, t_len):
+    d, o = 2, 1
+    mu0, l0, A, b, lq = npk.random_ssm(rng, t_len, d)
+    H = rng.standard_normal((o, d))
+    R = np.eye(o) * 0.3
+    ys = rng.standard_normal((t_len + 1, o))
+    ssm = StateSpaceModel(*[jnp.asarray(v) for v in (mu0, l0, A, b, lq)])
+    F, c, Q = K.prior_step_arrays(ssm)
+    lam = jnp.broadcast_to(jnp.asarray(np.linalg.inv(R)), (t_len + 1, o, o))
+    nu = jnp.asarray(ys @ np.linalg.inv(R).T)
+    Hs = jnp.broadcast_to(jnp.asarray(H), (t_len + 1, o, d))
+    elems = K.make_filter_elements(F, c, Q, Hs, nu, lam)
+    m_f, p_f = K.parallel_filter(elems)
+    m_ref, p_ref, _ = K.parallel_smoother(F, c, Q, m_f, p_f)
+
+    # build TL smoother elements and run the pallas suffix scan
+    to_tl = lambda x: jnp.moveaxis(x, -3, -1)
+    f_tl, c_tl, q_tl = to_tl(F), to_tl(c[..., None]), to_tl(Q)
+    m_f_tl = to_tl(m_f[..., None])
+    p_f_tl = to_tl(p_f)
+    from markovflow_tpu.ops.kalman import _make_smoother_elements
+    (e_all, g_all, l_all), _ = _make_smoother_elements(F, c, Q, m_f, p_f)
+    elems_tl = (to_tl(e_all), to_tl(g_all), to_tl(l_all))
+    from markovflow_tpu.ops.pallas_scan import pallas_smoother_scan
+    m_tl, p_tl = pallas_smoother_scan(elems_tl, chunk=64, interpret=True)
+    m_got = jnp.moveaxis(m_tl[..., 0, :], -1, -2)
+    p_got = jnp.moveaxis(p_tl, -1, -3)
+    assert_allclose(np.asarray(m_got), np.asarray(m_ref), atol=1e-9)
+    assert_allclose(np.asarray(p_got), np.asarray(p_ref), atol=1e-9)
