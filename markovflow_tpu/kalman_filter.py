@@ -137,12 +137,17 @@ class BaseKalmanFilter(Module, abc.ABC):
         _, _, ll = K.filter_pipeline_tl(F, c, Q, h, nu, lam, mask)
         return ll
 
-    def posterior_marginals(self):
+    def posterior_marginals(self, engine: str = "xla"):
         """Smoothed means/covs ([..., N, d], [..., N, d, d]) straight from
-        the TL pipeline — no posterior-SSM materialization."""
+        the TL pipeline — no posterior-SSM materialization.
+
+        ``engine="pallas"`` runs the hand-written TPU kernels (inference
+        only: no autodiff; unbatched, state_dim <= 3)."""
         F, c, Q, h, nu, lam, mask = self._tl_inputs()
-        m_f, p_f, _ = K.filter_pipeline_tl(F, c, Q, h, nu, lam, mask)
-        m_s, p_s, _ = K.smoother_pipeline_tl(F, c, Q, m_f, p_f)
+        m_f, p_f, _ = K.filter_pipeline_tl(F, c, Q, h, nu, lam, mask,
+                                           engine=engine)
+        m_s, p_s, _ = K.smoother_pipeline_tl(F, c, Q, m_f, p_f,
+                                             engine=engine)
         return (jnp.moveaxis(m_s[..., 0, :], -1, -2),
                 jnp.moveaxis(p_s, -1, -3))
 

@@ -11,6 +11,12 @@ one write per element.
 
 Forward (inference/serving) path only; training uses the autodiff-friendly
 XLA scan in :mod:`markovflow_tpu.ops.scans`.
+
+Accuracy note: the in-chunk Hillis-Steele scan performs O(C log C) combines
+(vs O(C) for the XLA Blelloch scan), so float32 roundoff accumulates faster;
+exact in float64 (interpret-mode parity tests), but at T ~ 1e6 in float32 the
+XLA engine is preferred (and measured equally fast end-to-end).  A
+work-efficient in-kernel Blelloch variant is the planned fix.
 """
 from __future__ import annotations
 
