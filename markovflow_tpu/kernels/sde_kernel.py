@@ -209,9 +209,22 @@ class StationaryKernel(SDEKernel, abc.ABC):
     def transition_statistics_tl(self, time_deltas):
         """(A, Q) in TL layout [..., d, d, N]."""
         a = self.state_transitions_tl(time_deltas)
-        p_inf = self.steady_state_covariance[..., None]
-        ap = jnp.einsum("...ijn,...jk->...ikn", a, self.steady_state_covariance)
-        apa = jnp.einsum("...ijn,...kjn->...ikn", ap, a)
+        d = self.state_dim
+        p_stat = self.steady_state_covariance
+        p_inf = p_stat[..., None]
+        # Unrolled (A P_inf) and (A P_inf) A^T: einsum's dot_general with a
+        # trailing batch dim relayouts to time-middle on TPU (tile-padded
+        # tiny blocks; measured 223x slower at T = 1e6 — see ops.kalman._mm_tl).
+        ap = jnp.stack([
+            jnp.stack([
+                sum(a[..., i, j, :] * p_stat[..., j, k] for j in range(d))
+                for k in range(d)], axis=-2)
+            for i in range(d)], axis=-3)
+        apa = jnp.stack([
+            jnp.stack([
+                sum(ap[..., i, j, :] * a[..., k, j, :] for j in range(d))
+                for k in range(d)], axis=-2)
+            for i in range(d)], axis=-3)
         q = p_inf - apa
         q = 0.5 * (q + jnp.swapaxes(q, -3, -2))
         if self._jitter:
@@ -233,8 +246,10 @@ class StationaryKernel(SDEKernel, abc.ABC):
         q_tl = jnp.concatenate([jnp.broadcast_to(p0, a.shape[:-1] + (1,)), q],
                                axis=-1)
         m = self.state_mean
-        # b_k = (I - A_k) m ; c_0 = m
-        am = jnp.einsum("...ijn,...j->...in", a, m)
+        # b_k = (I - A_k) m ; c_0 = m  (unrolled: see transition_statistics_tl)
+        am = jnp.stack([
+            sum(a[..., i, j, :] * m[..., j, None] for j in range(d))
+            for i in range(d)], axis=-2)
         b = m[..., None] - am
         c0 = jnp.broadcast_to(m[..., None], b.shape[:-1] + (1,))
         c_tl = jnp.concatenate([c0, b], axis=-1)[..., :, None, :]

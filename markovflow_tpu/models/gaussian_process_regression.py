@@ -30,11 +30,13 @@ class GaussianProcessRegression(MarkovFlowModel):
         chol_obs_covariance [o, o] (reference: gaussian_process_regression.py:54-96)."""
         self.time_points, self.observations = input_data
         check_time_points(self.time_points)
-        if jnp.ndim(self.observations) != jnp.ndim(self.time_points) + 1:
+        obs_shape = jnp.shape(self.observations)
+        tp_shape = jnp.shape(self.time_points)
+        if (jnp.ndim(self.observations) != jnp.ndim(self.time_points) + 1
+                or obs_shape[:-1] != tp_shape):
             raise ValueError(
                 "observations must have shape time_points.shape + [obs_dim]; "
-                f"got {jnp.shape(self.observations)} for time points "
-                f"{jnp.shape(self.time_points)}")
+                f"got {obs_shape} for time points {tp_shape}")
         self.kernel = kernel
         self.chol_obs_covariance = chol_obs_covariance
         self.mean_function = mean_function

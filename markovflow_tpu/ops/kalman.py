@@ -76,7 +76,27 @@ def _from_tl(x):
 
 
 def _mm_tl(a, b):
-    return jnp.einsum("...ijn,...jkn->...ikn", a, b)
+    """[..., d1, d2, N] @ [..., d2, d3, N] -> [..., d1, d3, N].
+
+    Unrolled to elementwise lane ops for small d: einsum's dot_general with a
+    trailing batch dim makes XLA relayout to time-middle, where every tiny
+    d x d block tile-pads to (8, 128) — measured 223x slower at T = 1e6
+    (53 ms vs 0.24 ms for the element-construction pipeline).
+    """
+    d1, d2 = a.shape[-3], a.shape[-2]
+    d3 = b.shape[-2]
+    if max(d1, d2, d3) > 4:
+        return jnp.einsum("...ijn,...jkn->...ikn", a, b)
+    rows = []
+    for i in range(d1):
+        cols = []
+        for k in range(d3):
+            acc = a[..., i, 0, :] * b[..., 0, k, :]
+            for j in range(1, d2):
+                acc = acc + a[..., i, j, :] * b[..., j, k, :]
+            cols.append(acc)
+        rows.append(jnp.stack(cols, axis=-2))
+    return jnp.stack(rows, axis=-3)
 
 
 def _t_tl(a):

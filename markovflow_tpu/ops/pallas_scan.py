@@ -1,22 +1,33 @@
-"""Pallas TPU kernel: fused parallel Kalman filter scan.
+"""Pallas TPU kernels: fused parallel Kalman filter / smoother scans.
 
 The TPU-native analogue of the reference's C++ ``banded_matrices`` hot ops
 (reference: markovflow/block_tri_diag.py:22-31): the block-tridiagonal
 Cholesky/solve pipeline collapses, in scan form, to a prefix composition of
 filtering elements.  XLA's associative_scan executes O(log C) HBM round
-trips per chunk; this kernel keeps each chunk resident in VMEM, runs the
-in-chunk Hillis-Steele scan entirely on the VPU, and threads the cross-chunk
-carry through VMEM scratch across sequential grid steps — one HBM read and
-one write per element.
+trips per chunk; these kernels keep each chunk resident in VMEM and thread
+the cross-chunk carry through VMEM scratch across sequential grid steps —
+one HBM read and one write per element.
+
+In-chunk algorithm (v2, work-efficient "block-sequential" scan).  The chunk
+of C time steps is viewed as (R, L) = (block, lane): each of the L lanes owns
+a *contiguous* run of R time steps (R = 8 matches the f32 sublane count, so
+the (R, L) tail of every leaf tiles the (8, 128) VPU grid exactly):
+
+1. an R-step sequential pass (vectorized across all L lanes) produces the
+   within-block prefixes — left-to-right bracketing, exactly the sequential
+   recursion's roundoff behaviour;
+2. a Hillis-Steele pass over the L block *totals* (log2 L levels);
+3. one final combine folds the lane-exclusive prefix + cross-chunk carry
+   into each of the R within-block prefixes.
+
+Total combine work is 2 + (log2 L)/R per element vs log2 C for the v1
+Hillis-Steele kernel (~3.3 vs 11 at C = 8192) and the bracketing is mostly
+sequential, so float32 roundoff at T ~ 1e6 matches the XLA chunked
+Blelloch scan (measured; v1's pure Hillis-Steele drifted above it).
 
 Forward (inference/serving) path only; training uses the autodiff-friendly
-XLA scan in :mod:`markovflow_tpu.ops.scans`.
-
-Accuracy note: the in-chunk Hillis-Steele scan performs O(C log C) combines
-(vs O(C) for the XLA Blelloch scan), so float32 roundoff accumulates faster;
-exact in float64 (interpret-mode parity tests), but at T ~ 1e6 in float32 the
-XLA engine is preferred (and measured equally fast end-to-end).  A
-work-efficient in-kernel Blelloch variant is the planned fix.
+XLA scan in :mod:`markovflow_tpu.ops.scans` or the Fisher-identity custom
+VJP in :mod:`markovflow_tpu.ops.fisher`.
 """
 from __future__ import annotations
 
@@ -27,13 +38,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pallas_filter_scan", "pallas_smoother_scan", "PALLAS_CHUNK"]
+__all__ = ["pallas_filter_scan", "pallas_smoother_scan", "PALLAS_CHUNK",
+           "PALLAS_BLOCK"]
 
-PALLAS_CHUNK = 2048
+#: time steps per grid step (must be divisible by PALLAS_BLOCK)
+PALLAS_CHUNK = 4096
+#: contiguous time steps owned by one lane (sublane axis; 8 = f32 tile height)
+PALLAS_BLOCK = 8
 
 
 def _mm(a, b):
-    """[d1, d2, C] @ [d2, d3, C] with the matmul unrolled to elementwise
+    """[d1, d2, L] @ [d2, d3, L] with the matmul unrolled to elementwise
     lane ops (Mosaic requires batch dims at position 0, so no dot_general)."""
     d1, d2 = a.shape[0], a.shape[1]
     d3 = b.shape[1]
@@ -76,7 +91,7 @@ def _inv(m):
 
 
 def _combine(x, y):
-    """x (earlier) (x) y (later) — filtering composition, [d, *, C] leaves."""
+    """x (earlier) (x) y (later) — filtering composition, [d, *, L] leaves."""
     xa, xb, xc, xj, xe = x
     ya, yb, yc, yj, ye = y
     d = xa.shape[0]
@@ -91,15 +106,49 @@ def _combine(x, y):
     return a, b, c, j, eta
 
 
-def _identity_elem(d, db, chunk, dtype):
-    eye = jnp.broadcast_to(jnp.eye(d, dtype=dtype)[..., None], (d, d, chunk))
-    zb = jnp.zeros((d, db, chunk), dtype)
-    zm = jnp.zeros((d, d, chunk), dtype)
+def _identity_elem(d, db, lanes, dtype):
+    eye = jnp.broadcast_to(jnp.eye(d, dtype=dtype)[..., None], (d, d, lanes))
+    zb = jnp.zeros((d, db, lanes), dtype)
+    zm = jnp.zeros((d, d, lanes), dtype)
     return (eye, zb, zm, zm, zb)
 
 
-def _kernel(a_ref, b_ref, c_ref, j_ref, e_ref, mb_ref, pc_ref,
-            carry_a, carry_b, carry_c, carry_j, carry_e, *, chunk):
+def _combine_smoother(later, earlier):
+    """Smoothing composition (reverse scan): result = earlier (x) later."""
+    le, lg, ll = later
+    ee, eg, el = earlier
+    e = _mm(ee, le)
+    g = _mm(ee, lg) + eg
+    ell = _mm(ee, _mm(ll, _t(ee))) + el
+    return e, g, ell
+
+
+def _smoother_identity(d, db, lanes, dtype):
+    eye = jnp.broadcast_to(jnp.eye(d, dtype=dtype)[..., None], (d, d, lanes))
+    return (eye, jnp.zeros((d, db, lanes), dtype),
+            jnp.zeros((d, d, lanes), dtype))
+
+
+# --------------------------------------------------------------------------
+# Layout: (d, *, N) <-> (d, *, R, NB) with lane b owning times [bR, (b+1)R).
+# The transpose has to happen on the XLA side: a (d, *, NB, R) array is
+# tile-padded 16x in HBM (T(8,128) pads the minor dim R = 8 to 128), and
+# Mosaic cannot shape-cast (d, *, C) -> (d, *, L, R) in-kernel.  Under jit
+# the transposes fuse into the element-producer / consumer chains.
+# --------------------------------------------------------------------------
+def _to_blocked(x, r_blk):
+    d0, d1, n = x.shape
+    return jnp.swapaxes(x.reshape(d0, d1, n // r_blk, r_blk), -1, -2)
+
+
+def _from_blocked(x):
+    d0, d1, r_blk, nb = x.shape
+    return jnp.swapaxes(x, -1, -2).reshape(d0, d1, nb * r_blk)
+
+
+def _filter_kernel(a_ref, b_ref, c_ref, j_ref, e_ref, mb_ref, pc_ref,
+                   carry_a, carry_b, carry_c, carry_j, carry_e,
+                   *, r_blk, lanes):
     d = a_ref.shape[0]
     db = b_ref.shape[1]
     dtype = a_ref.dtype
@@ -114,53 +163,57 @@ def _kernel(a_ref, b_ref, c_ref, j_ref, e_ref, mb_ref, pc_ref,
         carry_j[...] = ident[3]
         carry_e[...] = ident[4]
 
-    run = (a_ref[...], b_ref[...], c_ref[...], j_ref[...], e_ref[...])
-    ident = _identity_elem(d, db, chunk, dtype)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (d, d, chunk), dimension=2)
-    lane_b = jax.lax.broadcasted_iota(jnp.int32, (d, db, chunk), dimension=2)
+    def elem(r):
+        return (a_ref[:, :, r, :], b_ref[:, :, r, :], c_ref[:, :, r, :],
+                j_ref[:, :, r, :], e_ref[:, :, r, :])
 
-    # Hillis-Steele inclusive scan within the chunk (lanes axis)
+    # 1. within-block sequential prefixes (vectorized over the L lanes)
+    pref = [elem(0)]
+    for r in range(1, r_blk):
+        pref.append(_combine(pref[-1], elem(r)))
+
+    # 2. Hillis-Steele inclusive scan over the L block totals
+    ident = _identity_elem(d, db, lanes, dtype)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (d, d, lanes), dimension=2)
+    lane_b = jax.lax.broadcasted_iota(jnp.int32, (d, db, lanes), dimension=2)
+    masks = (lane, lane_b, lane, lane, lane_b)
+    tot = pref[-1]
     k = 1
-    while k < chunk:
-        shifted = tuple(pltpu.roll(r, k, 2) for r in run)
-        masks = (lane < k, lane_b < k, lane < k, lane < k, lane_b < k)
-        shifted = tuple(jnp.where(m, idl, s)
+    while k < lanes:
+        shifted = tuple(pltpu.roll(t, k, 2) for t in tot)
+        shifted = tuple(jnp.where(m < k, idl, s)
                         for m, idl, s in zip(masks, ident, shifted))
-        run = _combine(shifted, run)
+        tot = _combine(shifted, tot)
         k *= 2
-
+    # exclusive lane prefix, then fold in the cross-chunk carry
+    excl = tuple(pltpu.roll(t, 1, 2) for t in tot)
+    excl = tuple(jnp.where(m < 1, idl, s)
+                 for m, idl, s in zip(masks, ident, excl))
     carry = (carry_a[...], carry_b[...], carry_c[...], carry_j[...],
              carry_e[...])
-    carry_bcast = tuple(jnp.broadcast_to(cc, r.shape)
-                        for cc, r in zip(carry, run))
-    out = _combine(carry_bcast, run)
-    mb_ref[...] = out[1]
-    pc_ref[...] = out[2]
-    carry_a[...] = out[0][..., -1:]
-    carry_b[...] = out[1][..., -1:]
-    carry_c[...] = out[2][..., -1:]
-    carry_j[...] = out[3][..., -1:]
-    carry_e[...] = out[4][..., -1:]
+    carry_bcast = tuple(jnp.broadcast_to(cc, x.shape)
+                        for cc, x in zip(carry, excl))
+    exc = _combine(carry_bcast, excl)
 
+    # 3. fold the exclusive prefix into each within-block prefix
+    for r in range(r_blk):
+        out_r = _combine(exc, pref[r])
+        mb_ref[:, :, r, :] = out_r[1]
+        pc_ref[:, :, r, :] = out_r[2]
 
-def _combine_smoother(later, earlier):
-    """Smoothing composition (reverse scan): result = earlier (x) later."""
-    le, lg, ll = later
-    ee, eg, el = earlier
-    e = _mm(ee, le)
-    g = _mm(ee, lg) + eg
-    ell = _mm(ee, _mm(ll, _t(ee))) + el
-    return e, g, ell
-
-
-def _smoother_identity(d, db, chunk, dtype):
-    eye = jnp.broadcast_to(jnp.eye(d, dtype=dtype)[..., None], (d, d, chunk))
-    return (eye, jnp.zeros((d, db, chunk), dtype),
-            jnp.zeros((d, d, chunk), dtype))
+    # 4. new carry: the full prefix at the last element of the chunk
+    exc_last = tuple(x[..., -1:] for x in exc)
+    pref_last = tuple(x[..., -1:] for x in pref[-1])
+    new_carry = _combine(exc_last, pref_last)
+    carry_a[...] = new_carry[0]
+    carry_b[...] = new_carry[1]
+    carry_c[...] = new_carry[2]
+    carry_j[...] = new_carry[3]
+    carry_e[...] = new_carry[4]
 
 
 def _smoother_kernel(e_ref, g_ref, l_ref, mg_ref, pl_ref,
-                     carry_e, carry_g, carry_l, *, chunk):
+                     carry_e, carry_g, carry_l, *, r_blk, lanes):
     d = e_ref.shape[0]
     db = g_ref.shape[1]
     dtype = e_ref.dtype
@@ -173,32 +226,109 @@ def _smoother_kernel(e_ref, g_ref, l_ref, mg_ref, pl_ref,
         carry_g[...] = ident[1]
         carry_l[...] = ident[2]
 
-    run = (e_ref[...], g_ref[...], l_ref[...])
-    ident = _smoother_identity(d, db, chunk, dtype)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (d, d, chunk), dimension=2)
-    lane_b = jax.lax.broadcasted_iota(jnp.int32, (d, db, chunk), dimension=2)
+    def elem(r):
+        return (e_ref[:, :, r, :], g_ref[:, :, r, :], l_ref[:, :, r, :])
 
-    # reverse Hillis-Steele: suffix scan within the chunk
-    # (roll left by k == circular roll right by chunk - k; pltpu.roll
-    # requires non-negative shifts)
+    # 1. within-block sequential suffixes (r_blk-1 ... 0)
+    suf = [elem(r_blk - 1)]
+    for r in range(r_blk - 2, -1, -1):
+        suf.append(_combine_smoother(suf[-1], elem(r)))
+    suf = suf[::-1]  # suf[r] = e_r (x) ... (x) e_{R-1}
+
+    # 2. Hillis-Steele suffix scan over the L block totals (roll left by k
+    # == circular roll right by lanes - k; pltpu.roll needs shifts >= 0)
+    ident = _smoother_identity(d, db, lanes, dtype)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (d, d, lanes), dimension=2)
+    lane_b = jax.lax.broadcasted_iota(jnp.int32, (d, db, lanes), dimension=2)
+    masks = (lane, lane_b, lane)
+    tot = suf[0]
     k = 1
-    while k < chunk:
-        shifted = tuple(pltpu.roll(r, chunk - k, 2) for r in run)
-        masks = (lane >= chunk - k, lane_b >= chunk - k, lane >= chunk - k)
-        shifted = tuple(jnp.where(m, idl, s)
+    while k < lanes:
+        shifted = tuple(pltpu.roll(t, lanes - k, 2) for t in tot)
+        shifted = tuple(jnp.where(m >= lanes - k, idl, s)
                         for m, idl, s in zip(masks, ident, shifted))
-        run = _combine_smoother(shifted, run)
+        tot = _combine_smoother(shifted, tot)
         k *= 2
-
+    # exclusive lane suffix, then fold in the cross-chunk (later) carry
+    excl = tuple(pltpu.roll(t, lanes - 1, 2) for t in tot)
+    excl = tuple(jnp.where(m >= lanes - 1, idl, s)
+                 for m, idl, s in zip(masks, ident, excl))
     carry = (carry_e[...], carry_g[...], carry_l[...])
-    carry_b = tuple(jnp.broadcast_to(cc, r.shape)
-                    for cc, r in zip(carry, run))
-    out = _combine_smoother(carry_b, run)
-    mg_ref[...] = out[1]
-    pl_ref[...] = out[2]
-    carry_e[...] = out[0][..., :1]
-    carry_g[...] = out[1][..., :1]
-    carry_l[...] = out[2][..., :1]
+    carry_bcast = tuple(jnp.broadcast_to(cc, x.shape)
+                        for cc, x in zip(carry, excl))
+    exc = _combine_smoother(carry_bcast, excl)
+
+    # 3. fold the exclusive suffix into each within-block suffix
+    for r in range(r_blk):
+        out_r = _combine_smoother(exc, suf[r])
+        mg_ref[:, :, r, :] = out_r[1]
+        pl_ref[:, :, r, :] = out_r[2]
+
+    # 4. new carry: the full suffix at the first element of the chunk
+    exc_first = tuple(x[..., :1] for x in exc)
+    suf_first = tuple(x[..., :1] for x in suf[0])
+    new_carry = _combine_smoother(exc_first, suf_first)
+    carry_e[...] = new_carry[0]
+    carry_g[...] = new_carry[1]
+    carry_l[...] = new_carry[2]
+
+
+def _split_chunk(chunk):
+    r_blk = PALLAS_BLOCK
+    while r_blk > 1 and chunk % r_blk:
+        r_blk //= 2
+    return r_blk, chunk // r_blk
+
+
+def pallas_filter_scan(elems, *, chunk: int = PALLAS_CHUNK,
+                       interpret: bool = False):
+    """Filtered means/covs from TL-layout FilterElements.
+
+    elems: (A [d,d,N], b [d,1,N], C [d,d,N], J [d,d,N], eta [d,1,N])
+    (unbatched).  Returns (m_f [d,1,N], P_f [d,d,N]).
+    """
+    a, b, c, j, e = elems
+    d = a.shape[0]
+    db = b.shape[1]
+    n = a.shape[-1]
+    r_blk, lanes = _split_chunk(chunk)
+    num_chunks = -(-n // chunk)
+    pad = num_chunks * chunk - n
+    if pad:
+        ident = _identity_elem(d, db, pad, a.dtype)
+        a = jnp.concatenate([a, ident[0]], axis=-1)
+        b = jnp.concatenate([b, ident[1]], axis=-1)
+        c = jnp.concatenate([c, ident[2]], axis=-1)
+        j = jnp.concatenate([j, ident[3]], axis=-1)
+        e = jnp.concatenate([e, ident[4]], axis=-1)
+    blk = functools.partial(_to_blocked, r_blk=r_blk)
+    a, b, c, j, e = blk(a), blk(b), blk(c), blk(j), blk(e)
+
+    mat_spec = pl.BlockSpec((d, d, r_blk, lanes), lambda i: (0, 0, 0, i),
+                            memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((d, db, r_blk, lanes), lambda i: (0, 0, 0, i),
+                            memory_space=pltpu.VMEM)
+    nb_tot = num_chunks * lanes
+    out = pl.pallas_call(
+        functools.partial(_filter_kernel, r_blk=r_blk, lanes=lanes),
+        grid=(num_chunks,),
+        in_specs=[mat_spec, vec_spec, mat_spec, mat_spec, vec_spec],
+        out_specs=(vec_spec, mat_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((d, db, r_blk, nb_tot), a.dtype),
+            jax.ShapeDtypeStruct((d, d, r_blk, nb_tot), a.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((d, d, 1), a.dtype),
+            pltpu.VMEM((d, db, 1), a.dtype),
+            pltpu.VMEM((d, d, 1), a.dtype),
+            pltpu.VMEM((d, d, 1), a.dtype),
+            pltpu.VMEM((d, db, 1), a.dtype),
+        ],
+        interpret=interpret,
+    )(a, b, c, j, e)
+    m_f, p_f = _from_blocked(out[0]), _from_blocked(out[1])
+    return m_f[..., :n], p_f[..., :n]
 
 
 def pallas_smoother_scan(elems, *, chunk: int = PALLAS_CHUNK,
@@ -213,6 +343,7 @@ def pallas_smoother_scan(elems, *, chunk: int = PALLAS_CHUNK,
     d = e.shape[0]
     db = g.shape[1]
     n = e.shape[-1]
+    r_blk, lanes = _split_chunk(chunk)
     num_chunks = -(-n // chunk)
     pad = num_chunks * chunk - n
     if pad:
@@ -221,21 +352,23 @@ def pallas_smoother_scan(elems, *, chunk: int = PALLAS_CHUNK,
         e = jnp.concatenate([ident[0], e], axis=-1)
         g = jnp.concatenate([ident[1], g], axis=-1)
         l = jnp.concatenate([ident[2], l], axis=-1)
+    blk = functools.partial(_to_blocked, r_blk=r_blk)
+    e, g, l = blk(e), blk(g), blk(l)
 
-    mat_spec = pl.BlockSpec((d, d, chunk),
-                            lambda i: (0, 0, pl.num_programs(0) - 1 - i),
+    rev = lambda i: (0, 0, 0, pl.num_programs(0) - 1 - i)
+    mat_spec = pl.BlockSpec((d, d, r_blk, lanes), rev,
                             memory_space=pltpu.VMEM)
-    vec_spec = pl.BlockSpec((d, db, chunk),
-                            lambda i: (0, 0, pl.num_programs(0) - 1 - i),
+    vec_spec = pl.BlockSpec((d, db, r_blk, lanes), rev,
                             memory_space=pltpu.VMEM)
+    nb_tot = num_chunks * lanes
     out = pl.pallas_call(
-        functools.partial(_smoother_kernel, chunk=chunk),
+        functools.partial(_smoother_kernel, r_blk=r_blk, lanes=lanes),
         grid=(num_chunks,),
         in_specs=[mat_spec, vec_spec, mat_spec],
         out_specs=(vec_spec, mat_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((d, db, num_chunks * chunk), e.dtype),
-            jax.ShapeDtypeStruct((d, d, num_chunks * chunk), e.dtype),
+            jax.ShapeDtypeStruct((d, db, r_blk, nb_tot), e.dtype),
+            jax.ShapeDtypeStruct((d, d, r_blk, nb_tot), e.dtype),
         ),
         scratch_shapes=[
             pltpu.VMEM((d, d, 1), e.dtype),
@@ -244,52 +377,5 @@ def pallas_smoother_scan(elems, *, chunk: int = PALLAS_CHUNK,
         ],
         interpret=interpret,
     )(e, g, l)
-    m_s, p_s = out
+    m_s, p_s = _from_blocked(out[0]), _from_blocked(out[1])
     return m_s[..., pad:], p_s[..., pad:]
-
-
-def pallas_filter_scan(elems, *, chunk: int = PALLAS_CHUNK,
-                       interpret: bool = False):
-    """Filtered means/covs from TL-layout FilterElements.
-
-    elems: (A [d,d,N], b [d,1,N], C [d,d,N], J [d,d,N], eta [d,1,N])
-    (unbatched).  Returns (m_f [d,1,N], P_f [d,d,N]).
-    """
-    a, b, c, j, e = elems
-    d = a.shape[0]
-    db = b.shape[1]
-    n = a.shape[-1]
-    num_chunks = -(-n // chunk)
-    pad = num_chunks * chunk - n
-    if pad:
-        ident = _identity_elem(d, db, pad, a.dtype)
-        a = jnp.concatenate([a, ident[0]], axis=-1)
-        b = jnp.concatenate([b, ident[1]], axis=-1)
-        c = jnp.concatenate([c, ident[2]], axis=-1)
-        j = jnp.concatenate([j, ident[3]], axis=-1)
-        e = jnp.concatenate([e, ident[4]], axis=-1)
-
-    mat_spec = pl.BlockSpec((d, d, chunk), lambda i: (0, 0, i),
-                            memory_space=pltpu.VMEM)
-    vec_spec = pl.BlockSpec((d, db, chunk), lambda i: (0, 0, i),
-                            memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        functools.partial(_kernel, chunk=chunk),
-        grid=(num_chunks,),
-        in_specs=[mat_spec, vec_spec, mat_spec, mat_spec, vec_spec],
-        out_specs=(vec_spec, mat_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((d, db, num_chunks * chunk), a.dtype),
-            jax.ShapeDtypeStruct((d, d, num_chunks * chunk), a.dtype),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((d, d, 1), a.dtype),
-            pltpu.VMEM((d, db, 1), a.dtype),
-            pltpu.VMEM((d, d, 1), a.dtype),
-            pltpu.VMEM((d, d, 1), a.dtype),
-            pltpu.VMEM((d, db, 1), a.dtype),
-        ],
-        interpret=interpret,
-    )(a, b, c, j, e)
-    m_f, p_f = out
-    return m_f[..., :n], p_f[..., :n]

@@ -25,7 +25,26 @@ __all__ = ["affine_scan", "affine_cov_scan", "scan_tl", "CHUNK",
 
 
 def _mm(a, b):
-    return jnp.einsum("...ijn,...jkn->...ikn", a, b)
+    """[..., d1, d2, N] @ [..., d2, d3, N] unrolled to elementwise lane ops.
+
+    einsum's dot_general with a trailing batch dim makes XLA relayout to
+    time-middle (tiny blocks tile-padded to (8, 128)) — measured 223x slower
+    at T = 1e6.  See ops.kalman._mm_tl.
+    """
+    d1, d2 = a.shape[-3], a.shape[-2]
+    d3 = b.shape[-2]
+    if max(d1, d2, d3) > 4:
+        return jnp.einsum("...ijn,...jkn->...ikn", a, b)
+    rows = []
+    for i in range(d1):
+        cols = []
+        for k in range(d3):
+            acc = a[..., i, 0, :] * b[..., 0, k, :]
+            for j in range(1, d2):
+                acc = acc + a[..., i, j, :] * b[..., j, k, :]
+            cols.append(acc)
+        rows.append(jnp.stack(cols, axis=-2))
+    return jnp.stack(rows, axis=-3)
 
 
 def _t(a):
