@@ -25,9 +25,17 @@ __all__ = ["GaussianProcessRegression"]
 class GaussianProcessRegression(MarkovFlowModel):
     def __init__(self, input_data: Tuple[jnp.ndarray, jnp.ndarray],
                  kernel: SDEKernel, chol_obs_covariance: jnp.ndarray,
-                 mean_function: Optional[MeanFunction] = None):
+                 mean_function: Optional[MeanFunction] = None,
+                 grad_engine: str = "koopman"):
         """input_data: (time_points [..., N], observations [..., N, o]);
-        chol_obs_covariance [o, o] (reference: gaussian_process_regression.py:54-96)."""
+        chol_obs_covariance [o, o] (reference: gaussian_process_regression.py:54-96).
+
+        ``grad_engine`` (see :meth:`BaseKalmanFilter.log_likelihood`):
+        "koopman" (default) uses the analytic prediction-error score — same
+        gradients as autodiff to float roundoff, at ~the cost of one extra
+        scan; "autodiff" differentiates through the scan pipeline (required
+        for forward-mode/Hessian use); "fisher" is the EM-form VJP (float64 /
+        well-separated time points only)."""
         self.time_points, self.observations = input_data
         check_time_points(self.time_points)
         obs_shape = jnp.shape(self.observations)
@@ -40,6 +48,7 @@ class GaussianProcessRegression(MarkovFlowModel):
         self.kernel = kernel
         self.chol_obs_covariance = chol_obs_covariance
         self.mean_function = mean_function
+        self.grad_engine = grad_engine
 
     def _residual(self):
         """Observations minus the mean function
@@ -63,7 +72,7 @@ class GaussianProcessRegression(MarkovFlowModel):
 
     def log_likelihood(self) -> jnp.ndarray:
         """log p(Y) (reference: gaussian_process_regression.py:152-160)."""
-        return self.kalman.log_likelihood()
+        return self.kalman.log_likelihood(grad_engine=self.grad_engine)
 
     def loss(self) -> jnp.ndarray:
         return -self.log_likelihood()

@@ -1,0 +1,160 @@
+"""Gain-form analytic adjoint (Koopman score) for the LGSSM log likelihood.
+
+Autodiff through the chunked associative scan is the slowest part of a
+training step (measured ~400x the forward cost on TPU: every scan level is
+re-materialized and reversed).  The Fisher-identity VJP (:mod:`.fisher`)
+fixes that but contracts ``Q^{-1}`` against an ``O(Q)`` cancellation, which
+is numerically unusable in float32 on dense time grids (process noise
+``Q ~ dt^3`` for Matern-3/2).  This module implements the third option — the
+classical *prediction-error / disturbance-smoother score* (Koopman 1992;
+Durbin & Koopman section 7.3.3) — which is algebraically equal to autodiff's
+gradient and works entirely in gain form: only innovation-covariance
+inverses ``S^{-1}`` appear, never ``Q^{-1}``, so its float32 behaviour
+matches autodiff while costing ONE extra reverse scan.
+
+Derivation (first principles, verified against autodiff in
+tests/unit/test_adjoint.py).  Forward, for k = 0..N-1 (element 0 encodes the
+prior: F_0 = 0, a_0 = c_0, Pp_0 = Q_0), sites in natural form (nu, Lam):
+
+    a_k  = F_k m_{k-1} + c_k           Pp_k = F_k P_{k-1} F_k^T + Q_k
+    Zt_k = (I + Lam H Pp H^T)^{-1}     e_k = Zt_k (nu - Lam H a_k)  [= S^-1 v]
+    W_k  = Zt_k Lam  [= S^{-1}]        K_k = Pp H^T W  (gain)
+    m_k  = a_k + Pp H^T e_k            P_k = (I - K H) Pp
+    L_k  = F_{k+1} (I - K_k H_k)       (L_{N-1} irrelevant, zero-padded)
+
+Backward: with r_k = dL/da_k and NDK the conjugation accumulator,
+
+    r_k   = H^T e_k + L_k^T r_{k+1}
+    NDK_k = H^T W_k H + L_k^T NDK_{k+1} L_k
+
+— both computed by ONE reverse associative scan with the smoother
+composition (E = L^T, g = H^T e, ell = H^T W H).  Then
+
+    dL/dPp_k = 1/2 (r_k r_k^T - NDK_k) =: N_k      (no cancellation vs Q)
+    dL/dQ_k  = N_k                 dL/dc_k = r_k
+    dL/dF_k  = r_k m_{k-1}^T + 2 N_k F_k P_{k-1}
+
+Observation-side gradients use the smoothed moments, recovered for free:
+
+    ms_k = a_k + Pp_k r_k          Ps_k = Pp_k - Pp_k NDK_k Pp_k
+    dL/dnu_k  = H ms_k - Lam^{-1} nu_k
+    dL/dLam_k = 1/2 (y y^T - H (Ps + ms ms^T) H^T + Lam^{-1}),  y = Lam^{-1} nu
+    dL/dH_k   = nu ms^T - Lam H (Ps + ms ms^T)
+
+(Lam^{-1} here is benign: sites are user-scale precisions, and the terms are
+exact — no cancellation; masked steps (Lam = 0) have zero gradients by
+construction.)  As with :mod:`.fisher`, the (Q, Lam) cotangents are the
+canonical symmetric extensions; upstream producers are symmetric maps for
+every kernel/likelihood in the library, so chain rules agree with autodiff.
+
+Reference parity: this replaces differentiating through the reference's
+banded C++ op gradients (markovflow/kalman_filter.py:184-255 under a TF
+GradientTape).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .kalman import (_eye_tl, _inv_tl, _mm_tl, _sym_tl, _t_tl,
+                     _smoother_identity_like, _combine_smoother_tl,
+                     filter_pipeline_tl)
+from .scans import scan_tl
+
+__all__ = ["log_likelihood_koopman"]
+
+
+def _adjoint_grads(F, c, Q, H, nu, lam, maskf, m_f, p_f):
+    """All six gradients from the saved filter results, in TL layout."""
+    mm, t = _mm_tl, _t_tl
+    d = F.shape[-3]
+    o = lam.shape[-3]
+    eye_d = _eye_tl(d, F.dtype)
+    eye_o = _eye_tl(o, F.dtype)
+
+    zpad = lambda x: jnp.concatenate(
+        [jnp.zeros_like(x[..., :1]), x], axis=-1)
+    m_prev = zpad(m_f[..., :-1])                    # m_{k-1} (0 at k=0)
+    p_prev = zpad(p_f[..., :-1])                    # P_{k-1} (0 at k=0)
+
+    # predicted moments (elementwise from saved filter results)
+    a = mm(F, m_prev) + c                           # a_0 = c_0 (F_0 = 0)
+    pp = _sym_tl(mm(F, mm(p_prev, t(F))) + Q)       # Pp_0 = Q_0
+
+    hpht = mm(H, mm(pp, t(H)))                      # [o, o, N]
+    zt = _inv_tl(eye_o + mm(lam, hpht))             # (I + Lam H Pp H^T)^-1
+    w = _sym_tl(mm(zt, lam))                        # S^{-1}
+    e = mm(zt, nu - mm(lam, mm(H, a)))              # [o, 1, N]
+    kh = mm(pp, mm(t(H), mm(w, H)))                 # K H  [d, d, N]
+    # L_k = F_{k+1} (I - K_k H_k); zero-pad the (unused) last element
+    i_kh = eye_d - kh
+    l_mat = jnp.concatenate(
+        [mm(F[..., 1:], i_kh[..., :-1]), jnp.zeros_like(F[..., :1])],
+        axis=-1)
+
+    g_elem = mm(t(H), e)                            # H^T e  [d, 1, N]
+    v_elem = _sym_tl(mm(t(H), mm(w, H)))            # H^T S^-1 H  [d, d, N]
+    res = scan_tl(_combine_smoother_tl, _smoother_identity_like,
+                  (t(l_mat), g_elem, v_elem), reverse=True)
+    r, ndk = res[1], res[2]                         # [d,1,N], [d,d,N]
+
+    n_mat = 0.5 * (mm(r, t(r)) - ndk)               # dL/dPp_k
+    g_q = n_mat
+    g_c = r
+    g_f = mm(r, t(m_prev)) + 2.0 * mm(n_mat, mm(F, p_prev))
+
+    # observation-side gradients via smoothed moments
+    m_s = a + mm(pp, r)
+    p_s = _sym_tl(pp - mm(pp, mm(ndk, pp)))
+    keep = maskf[..., None, None, :]
+    lam_safe = jnp.where(keep > 0.5, lam, eye_o)
+    lam_inv = _inv_tl(lam_safe)
+    y = mm(lam_inv, nu)
+    a_k = p_s + mm(m_s, t(m_s))
+    g_nu = mm(H, m_s) - y
+    g_lam = 0.5 * (mm(y, t(y)) - mm(H, mm(a_k, t(H))) + lam_inv)
+    g_h = mm(nu, t(m_s)) - mm(lam, mm(H, a_k))
+    g_nu = jnp.where(keep > 0.5, g_nu, 0.0)
+    g_lam = jnp.where(keep > 0.5, g_lam, 0.0)
+    g_h = jnp.where(keep > 0.5, g_h, 0.0)
+    return g_f, g_c, g_q, g_h, g_nu, g_lam
+
+
+@jax.custom_vjp
+def _ll(F, c, Q, H, nu, lam, maskf):
+    mask = maskf > 0.5
+    _, _, out = filter_pipeline_tl(F, c, Q, H, nu, lam, mask)
+    return out
+
+
+def _fwd(F, c, Q, H, nu, lam, maskf):
+    mask = maskf > 0.5
+    m_f, p_f, out = filter_pipeline_tl(F, c, Q, H, nu, lam, mask)
+    return out, (F, c, Q, H, nu, lam, maskf, m_f, p_f)
+
+
+def _bwd(res, g):
+    F, c, Q, H, nu, lam, maskf, m_f, p_f = res
+    grads = _adjoint_grads(F, c, Q, H, nu, lam, maskf, m_f, p_f)
+    gg = g[..., None, None, None]
+    return tuple(gg * x for x in grads) + (jnp.zeros_like(maskf),)
+
+
+_ll.defvjp(_fwd, _bwd)
+
+
+def log_likelihood_koopman(F, c, Q, H, nu, lam, mask=None):
+    """Site-form log marginal likelihood whose VJP is the analytic
+    prediction-error (Koopman) score: one reverse scan, gain form only.
+
+    Same value as ``filter_pipeline_tl(...)[2]``; gradients equal autodiff's
+    to float roundoff in ALL regimes (no ``Q^{-1}``, unlike the Fisher
+    identity), including exactly singular process noise and masked (sparse
+    site) steps.
+    """
+    n = F.shape[-1]
+    if mask is None:
+        maskf = jnp.ones(F.shape[:-3] + (n,), F.dtype)
+    else:
+        maskf = jnp.broadcast_to(mask, F.shape[:-3] + (n,)).astype(F.dtype)
+    return _ll(F, c, Q, H, nu, lam, maskf)

@@ -534,6 +534,21 @@ def sequential_smoother(F, c, Q, m_f, P_f):
     return jnp.moveaxis(ms, 0, axis), jnp.moveaxis(ps, 0, axis), gains
 
 
+def posterior_ssm_params_tl(m_s, p_s, gains):
+    """TL-layout :func:`posterior_ssm_params`.
+
+    m_s [..., d, 1, N]; p_s [..., d, d, N]; gains [..., d, d, N-1].
+    Returns (mu0 [..., d, 1], P0 [..., d, d], A [..., d, d, N-1],
+    b [..., d, 1, N-1], Q [..., d, d, N-1]) — all but the first two still in
+    TL layout over the transition axis.
+    """
+    cross = _mm_tl(gains, p_s[..., 1:])              # Cov(x_k, x_{k+1})
+    a_post = _t_tl(_mm_tl(_inv_tl(p_s[..., :-1]), cross))
+    b_post = m_s[..., 1:] - _mm_tl(a_post, m_s[..., :-1])
+    q_post = _sym_tl(p_s[..., 1:] - _mm_tl(a_post, cross))
+    return (m_s[..., 0], p_s[..., 0], a_post, b_post, q_post)
+
+
 def posterior_ssm_params(m_s, P_s, gains):
     """Forward-SSM parameters of the smoothing posterior.
 

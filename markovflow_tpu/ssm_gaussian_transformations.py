@@ -38,6 +38,7 @@ __all__ = [
     "ssm_to_naturals",
     "ssm_to_naturals_no_smoothing",
     "naturals_to_ssm_params",
+    "naturals_to_ssm_params_parallel",
     "naturals_to_ssm",
     "naturals_to_ssm_params_no_smoothing",
 ]
@@ -157,6 +158,68 @@ def naturals_to_ssm(theta_linear, theta_diag, theta_subdiag) -> StateSpaceModel:
     a_s, b_s, chol_p0, chol_q_s, mu0 = naturals_to_ssm_params(
         theta_linear, theta_diag, theta_subdiag)
     return StateSpaceModel(mu0, chol_p0, a_s, b_s, chol_q_s)
+
+
+def naturals_to_ssm_params_parallel(theta_linear, theta_diag, theta_subdiag):
+    """O(log N)-depth :func:`naturals_to_ssm_params` via a synthetic-model
+    reduction (no sequential UDU recursion).
+
+    The block-tridiagonal natural precision ``J = blocktridiag(-2 theta_diag,
+    -theta_subdiag)`` is *exactly* the posterior precision of a synthetic
+    linear-Gaussian SSM observed through identity emissions with site
+    precisions ``Lam_k = J_kk - [J_prior]_kk`` and site linear terms
+    ``nu_k = theta_linear_k`` (zero prior mean makes the posterior linear
+    term equal ``theta_linear``).  One parallel filter + smoother and the
+    posterior's forward-Markov extraction (:func:`ops.kalman
+    .posterior_ssm_params_tl`) then recover the unique forward SSM with these
+    naturals — the same result as the sequential UDU path, with O(log N)
+    depth on TPU instead of the reference's backward ``tf.while_loop``
+    (reference: markovflow/block_tri_diag.py:438-545,
+    ssm_gaussian_transformations.py:333-511).
+
+    The synthetic prior is scale-matched to theta for conditioning: process
+    precisions ``Q_k^{-1} = -theta_diag_k`` (half the precision diagonal,
+    always PD for a valid theta) and transitions
+    ``A_{k+1} = Q_{k+1} theta_subdiag_k`` (so the prior reproduces J's
+    off-diagonal exactly).  The leftover site precisions
+    ``Lam_k = -theta_diag_k - theta_subdiag_k^T Q_{k+1} theta_subdiag_k``
+    are indefinite in general (the Lam-form filter elements handle that
+    natively) but bounded by ~4x J's own diagonal scale, so no catastrophic
+    cancellation occurs — unlike e.g. a unit-noise synthetic prior, whose
+    ``Lam ~ theta_subdiag^T theta_subdiag`` squares the scale of J.
+    """
+    from .ops import kalman as K
+
+    to_tl = lambda x: jnp.moveaxis(x, -3, -1)
+    from_tl = lambda x: jnp.moveaxis(x, -1, -3)
+    th_lin = to_tl(theta_linear[..., None])          # [..., d, 1, N+1]
+    th_diag = to_tl(theta_diag)                      # [..., d, d, N+1]
+    th_sub = to_tl(theta_subdiag)                    # [..., d, d, N]
+    d = theta_diag.shape[-1]
+    dtype = theta_diag.dtype
+    eye = jnp.eye(d, dtype=dtype)[..., None]
+
+    q_tl = K._inv_tl(-th_diag)                       # Q_k = (-theta_diag_k)^-1
+    f_next = K._mm_tl(q_tl[..., 1:], th_sub)         # A_{k+1} = Q_{k+1} S_k
+    zero_f = jnp.zeros_like(th_diag[..., :1])
+    f_tl = jnp.concatenate([zero_f, f_next], axis=-1)
+    c_tl = jnp.zeros_like(th_lin)
+    h_tl = jnp.broadcast_to(eye, th_diag.shape)
+    # A^T Q^{-1} A = S_k^T Q_{k+1} S_k; J_prior diag_k = -th_diag_k + that
+    sqs = K._mm_tl(K._t_tl(th_sub), K._mm_tl(q_tl[..., 1:], th_sub))
+    lam_tl = -th_diag - jnp.concatenate(
+        [sqs, jnp.zeros_like(th_diag[..., :1])], axis=-1)
+
+    m_f, p_f, _ = K.filter_pipeline_tl(f_tl, c_tl, q_tl, h_tl, th_lin, lam_tl)
+    m_s, p_s, gains = K.smoother_pipeline_tl(f_tl, c_tl, q_tl, m_f, p_f)
+    mu0_tl, p0_tl, a_tl, b_tl, qp_tl = K.posterior_ssm_params_tl(
+        m_s, p_s, gains)
+    a_s = from_tl(a_tl)
+    b_s = from_tl(b_tl)[..., 0]
+    q_s = from_tl(qp_tl)
+    chol_q_s = small_cholesky(symmetrize(q_s))
+    chol_p0 = small_cholesky(symmetrize(p0_tl))
+    return a_s, b_s, chol_p0, chol_q_s, mu0_tl[..., 0]
 
 
 # --------------------------------------------------------------------------

@@ -149,3 +149,29 @@ def test_gpr_sampling(rng):
     emp = np.asarray(samples)[..., 0]
     emp_cov = np.cov(emp.T)
     assert_allclose(emp_cov, cov_np, atol=0.05)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("engine", ["fisher", "koopman"])
+def test_gpr_analytic_grad_engines_match_autodiff(rng, engine):
+    """grad_engine "fisher"/"koopman" must give the same loss AND the same
+    hyperparameter gradients as autodiff through the scan pipeline (the
+    antisymmetric Q-cotangent ambiguity cancels through the kernels'
+    symmetric Q construction).  Time points are well separated: the Fisher
+    form loses (F, Q)-gradient accuracy when dt -> 0 makes Q near-singular
+    (see ops.fisher docstring; the Koopman engine has no such restriction)."""
+    x = np.sort(np.linspace(0.0, 4.0, 40) + rng.uniform(0.0, 0.03, 40))
+    y = np.sin(2 * x) + 0.1 * rng.standard_normal(40)
+    model_ad = make_model(x, y).replace(grad_engine="autodiff")
+    model_fi = model_ad.replace(grad_engine=engine)
+
+    loss_ad, g_ad = jax.value_and_grad(lambda m: m.loss())(model_ad)
+    loss_fi, g_fi = jax.value_and_grad(lambda m: m.loss())(model_fi)
+    assert_allclose(float(loss_fi), float(loss_ad), rtol=1e-12)
+    la = jax.tree_util.tree_leaves(g_ad)
+    lf = jax.tree_util.tree_leaves(g_fi)
+    assert len(la) == len(lf)
+    for a, f in zip(la, lf):
+        assert_allclose(np.asarray(f), np.asarray(a), atol=1e-8, rtol=1e-8)

@@ -69,3 +69,35 @@ def test_theta_linear_is_precision_times_mean(rng):
     prec = ssm.precision()
     expected = prec.block_mult_vector(ssm.marginal_means)
     assert_allclose(np.asarray(theta_linear), np.asarray(expected), atol=1e-8)
+
+
+def test_naturals_parallel_roundtrip(rng):
+    """The O(log N) synthetic-model path recovers the same SSM as the
+    sequential UDU path."""
+    from markovflow_tpu.ssm_gaussian_transformations import (
+        naturals_to_ssm_params_parallel,
+    )
+
+    ssm = make_ssm(rng, T=17, d=2)
+    theta = ssm_to_naturals(ssm)
+    assert_ssm_equal(naturals_to_ssm_params_parallel(*theta), ssm, atol=1e-7)
+    # and against the sequential path on a larger/odd state dim
+    ssm3 = make_ssm(rng, T=9, d=3)
+    theta3 = ssm_to_naturals(ssm3)
+    seq = naturals_to_ssm_params(*theta3)
+    par = naturals_to_ssm_params_parallel(*theta3)
+    for s, p in zip(seq, par):
+        assert_allclose(np.asarray(p), np.asarray(s), atol=1e-7)
+
+
+def test_naturals_parallel_batched(rng):
+    from markovflow_tpu.ssm_gaussian_transformations import (
+        naturals_to_ssm_params_parallel,
+    )
+
+    ssms = [make_ssm(rng, T=8, d=2) for _ in range(3)]
+    thetas = [ssm_to_naturals(s) for s in ssms]
+    batched = tuple(jnp.stack([t[i] for t in thetas]) for i in range(3))
+    par = naturals_to_ssm_params_parallel(*batched)
+    for i, s in enumerate(ssms):
+        assert_ssm_equal(tuple(p[i] for p in par), s, atol=1e-7)
