@@ -170,8 +170,12 @@ class BaseKalmanFilter(Module, abc.ABC):
         the TL pipeline — no posterior-SSM materialization.
 
         ``engine="pallas"`` runs the hand-written TPU kernels (inference
-        only: no autodiff; unbatched, state_dim <= 3)."""
+        only: no autodiff; requests are gated — ineligible shapes/backends
+        fall back to the XLA scans)."""
+        from .ops.pallas_scan import pick_scan_engine
+
         F, c, Q, h, nu, lam, mask = self._tl_inputs()
+        engine = pick_scan_engine(F, engine)
         m_f, p_f, _ = K.filter_pipeline_tl(F, c, Q, h, nu, lam, mask,
                                            engine=engine)
         m_s, p_s, _ = K.smoother_pipeline_tl(F, c, Q, m_f, p_f,

@@ -63,7 +63,13 @@ class GaussianProcessWithSitesBase(MarkovFlowModel):
     def __init__(self, input_data: Tuple[jnp.ndarray, jnp.ndarray],
                  kernel: SDEKernel, likelihood: Likelihood,
                  mean_function: Optional[MeanFunction] = None,
-                 sites: Optional[UnivariateGaussianSitesNat] = None):
+                 sites: Optional[UnivariateGaussianSitesNat] = None,
+                 grad_engine: str = "koopman"):
+        """``grad_engine`` selects the VJP of the site-model marginal
+        likelihood (the ELBO / energy surrogate) — see
+        :meth:`BaseKalmanFilter.log_likelihood`.  "koopman" (default) is the
+        analytic prediction-error score; "autodiff" differentiates through
+        the scans (needed for forward-mode use)."""
         self.time_points, self.observations = input_data
         check_time_points(self.time_points)
         self.kernel = kernel
@@ -74,6 +80,7 @@ class GaussianProcessWithSitesBase(MarkovFlowModel):
             nat2 = -1e-10 * jnp.ones_like(self.observations)[..., None]
             sites = UnivariateGaussianSitesNat(nat1, nat2)
         self.sites = sites
+        self.grad_engine = grad_engine
 
     @property
     def dist_p(self) -> StateSpaceModel:
@@ -119,7 +126,8 @@ class GaussianProcessWithSitesBase(MarkovFlowModel):
                                      prior_tl=prior_tl)
 
     def log_likelihood(self) -> jnp.ndarray:
-        return self.posterior_kalman.log_likelihood()
+        return self.posterior_kalman.log_likelihood(
+            grad_engine=getattr(self, "grad_engine", "autodiff"))
 
     @property
     def posterior(self) -> AnalyticPosteriorProcess:
@@ -131,10 +139,16 @@ class GaussianProcessWithSitesBase(MarkovFlowModel):
             mean_function=self.mean_function,
         )
 
-    def _f_marginals(self):
+    def _f_marginals(self, engine: str = "xla"):
         """q(f) marginals at the training points — smoothed marginals from
-        the TL filter/smoother pipeline (no posterior-SSM materialization)."""
-        means, covs = self.posterior_kalman.posterior_marginals()
+        the TL filter/smoother pipeline (no posterior-SSM materialization).
+
+        Site updates pass ``engine="pallas"``: their gradients never flow
+        *through* these marginals (they differentiate the local objective
+        w.r.t. them), so the un-differentiable fused TPU kernels are safe
+        there; ``classic_elbo`` keeps the XLA scans so hyperparameter
+        autodiff through the marginals stays possible."""
+        means, covs = self.posterior_kalman.posterior_marginals(engine=engine)
         em = self.emission
         f_mu, f_var = em.project_state_marginals_to_f(means, covs)
         if self.mean_function is not None:
@@ -167,7 +181,7 @@ class CVIGaussianProcess(GaussianProcessWithSitesBase):
     def update_sites(self) -> "CVIGaussianProcess":
         """theta <- (1 - rho) theta + rho dVE/deta; returns a new model
         (reference: variational_cvi.py:351-368)."""
-        f_mu, f_var = self._f_marginals()
+        f_mu, f_var = self._f_marginals(engine="pallas")
         _, (g1, g2) = self.local_objective_and_gradients(f_mu, f_var)
         lr = self.learning_rate
         new_nat1 = (1 - lr) * self.sites.nat1 + lr * g1

@@ -59,12 +59,13 @@ import jax.numpy as jnp
 from .kalman import (_eye_tl, _inv_tl, _mm_tl, _sym_tl, _t_tl,
                      _smoother_identity_like, _combine_smoother_tl,
                      filter_pipeline_tl)
+from .pallas_scan import pick_scan_engine
 from .scans import scan_tl
 
 __all__ = ["log_likelihood_koopman"]
 
 
-def _adjoint_grads(F, c, Q, H, nu, lam, maskf, m_f, p_f):
+def _adjoint_grads(F, c, Q, H, nu, lam, maskf, m_f, p_f, engine="xla"):
     """All six gradients from the saved filter results, in TL layout."""
     mm, t = _mm_tl, _t_tl
     d = F.shape[-3]
@@ -94,9 +95,15 @@ def _adjoint_grads(F, c, Q, H, nu, lam, maskf, m_f, p_f):
 
     g_elem = mm(t(H), e)                            # H^T e  [d, 1, N]
     v_elem = _sym_tl(mm(t(H), mm(w, H)))            # H^T S^-1 H  [d, d, N]
-    res = scan_tl(_combine_smoother_tl, _smoother_identity_like,
-                  (t(l_mat), g_elem, v_elem), reverse=True)
-    r, ndk = res[1], res[2]                         # [d,1,N], [d,d,N]
+    if engine == "pallas":
+        # same (E, g, ell) suffix composition as the RTS smoother kernel
+        from .pallas_scan import pallas_smoother_scan
+
+        r, ndk = pallas_smoother_scan((t(l_mat), g_elem, v_elem))
+    else:
+        res = scan_tl(_combine_smoother_tl, _smoother_identity_like,
+                      (t(l_mat), g_elem, v_elem), reverse=True)
+        r, ndk = res[1], res[2]                     # [d,1,N], [d,d,N]
 
     n_mat = 0.5 * (mm(r, t(r)) - ndk)               # dL/dPp_k
     g_q = n_mat
@@ -120,30 +127,39 @@ def _adjoint_grads(F, c, Q, H, nu, lam, maskf, m_f, p_f):
     return g_f, g_c, g_q, g_h, g_nu, g_lam
 
 
-@jax.custom_vjp
-def _ll(F, c, Q, H, nu, lam, maskf):
-    mask = maskf > 0.5
-    _, _, out = filter_pipeline_tl(F, c, Q, H, nu, lam, mask)
-    return out
+def _make(engine: str):
+    @jax.custom_vjp
+    def ll(F, c, Q, H, nu, lam, maskf):
+        mask = maskf > 0.5
+        _, _, out = filter_pipeline_tl(
+            F, c, Q, H, nu, lam, mask,
+            engine=pick_scan_engine(F, engine))
+        return out
+
+    def fwd(F, c, Q, H, nu, lam, maskf):
+        mask = maskf > 0.5
+        m_f, p_f, out = filter_pipeline_tl(
+            F, c, Q, H, nu, lam, mask,
+            engine=pick_scan_engine(F, engine))
+        return out, (F, c, Q, H, nu, lam, maskf, m_f, p_f)
+
+    def bwd(res, g):
+        F, c, Q, H, nu, lam, maskf, m_f, p_f = res
+        grads = _adjoint_grads(F, c, Q, H, nu, lam, maskf, m_f, p_f,
+                               engine=pick_scan_engine(F, engine))
+        gg = g[..., None, None, None]
+        return tuple(gg * x for x in grads) + (jnp.zeros_like(maskf),)
+
+    ll.defvjp(fwd, bwd)
+    return ll
 
 
-def _fwd(F, c, Q, H, nu, lam, maskf):
-    mask = maskf > 0.5
-    m_f, p_f, out = filter_pipeline_tl(F, c, Q, H, nu, lam, mask)
-    return out, (F, c, Q, H, nu, lam, maskf, m_f, p_f)
+_LL_XLA = _make("xla")
+_LL_PALLAS = _make("pallas")
 
 
-def _bwd(res, g):
-    F, c, Q, H, nu, lam, maskf, m_f, p_f = res
-    grads = _adjoint_grads(F, c, Q, H, nu, lam, maskf, m_f, p_f)
-    gg = g[..., None, None, None]
-    return tuple(gg * x for x in grads) + (jnp.zeros_like(maskf),)
-
-
-_ll.defvjp(_fwd, _bwd)
-
-
-def log_likelihood_koopman(F, c, Q, H, nu, lam, mask=None):
+def log_likelihood_koopman(F, c, Q, H, nu, lam, mask=None,
+                           engine: str = "pallas"):
     """Site-form log marginal likelihood whose VJP is the analytic
     prediction-error (Koopman) score: one reverse scan, gain form only.
 
@@ -151,10 +167,17 @@ def log_likelihood_koopman(F, c, Q, H, nu, lam, mask=None):
     to float roundoff in ALL regimes (no ``Q^{-1}``, unlike the Fisher
     identity), including exactly singular process noise and masked (sparse
     site) steps.
+
+    ``engine="pallas"`` (default) runs both the forward filter scan and the
+    backward adjoint scan as fused TPU kernels when eligible (unbatched,
+    d <= 3, f32) — the adjoint recursion has exactly the RTS smoother's
+    (E, g, ell) suffix composition, so it reuses that kernel.  Ineligible
+    shapes fall back to the XLA scans.
     """
     n = F.shape[-1]
     if mask is None:
         maskf = jnp.ones(F.shape[:-3] + (n,), F.dtype)
     else:
         maskf = jnp.broadcast_to(mask, F.shape[:-3] + (n,)).astype(F.dtype)
-    return _ll(F, c, Q, H, nu, lam, maskf)
+    fn = _LL_PALLAS if engine == "pallas" else _LL_XLA
+    return fn(F, c, Q, H, nu, lam, maskf)

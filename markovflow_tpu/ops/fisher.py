@@ -60,17 +60,9 @@ import jax.numpy as jnp
 
 from .kalman import (_inv_tl, _mm_tl, _sym_tl, _t_tl, filter_pipeline_tl,
                      smoother_pipeline_tl)
+from .pallas_scan import pick_scan_engine
 
 __all__ = ["log_likelihood_fisher"]
-
-
-def _pick_scan_engine(F, engine):
-    """Pallas kernels are unbatched, d <= 3, f32, TPU-only."""
-    if engine != "pallas":
-        return "xla"
-    if F.ndim != 3 or F.shape[-3] > 3 or F.dtype != jnp.float32:
-        return "xla"
-    return "pallas"
 
 
 def _fisher_grads(F, c, Q, H, nu, lam, maskf, m_s, p_s, gains):
@@ -116,20 +108,20 @@ def _make(engine: str):
         mask = maskf > 0.5
         _, _, out = filter_pipeline_tl(
             F, c, Q, H, nu, lam, mask,
-            engine=_pick_scan_engine(F, engine))
+            engine=pick_scan_engine(F, engine))
         return out
 
     def fwd(F, c, Q, H, nu, lam, maskf):
         mask = maskf > 0.5
         m_f, p_f, out = filter_pipeline_tl(
             F, c, Q, H, nu, lam, mask,
-            engine=_pick_scan_engine(F, engine))
+            engine=pick_scan_engine(F, engine))
         return out, (F, c, Q, H, nu, lam, maskf, m_f, p_f)
 
     def bwd(res, g):
         F, c, Q, H, nu, lam, maskf, m_f, p_f = res
         m_s, p_s, gains = smoother_pipeline_tl(
-            F, c, Q, m_f, p_f, engine=_pick_scan_engine(F, engine))
+            F, c, Q, m_f, p_f, engine=pick_scan_engine(F, engine))
         grads = _fisher_grads(F, c, Q, H, nu, lam, maskf, m_s, p_s, gains)
         gg = g[..., None, None, None]
         return tuple(gg * x for x in grads) + (jnp.zeros_like(maskf),)

@@ -38,8 +38,24 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pallas_filter_scan", "pallas_smoother_scan", "PALLAS_CHUNK",
-           "PALLAS_BLOCK"]
+__all__ = ["pallas_filter_scan", "pallas_smoother_scan", "pick_scan_engine",
+           "PALLAS_CHUNK", "PALLAS_BLOCK"]
+
+
+def pick_scan_engine(F, engine: str) -> str:
+    """Resolve an engine request against kernel eligibility.
+
+    The Pallas kernels are unbatched, d <= 3, float32, and TPU-only; any
+    ineligible request silently resolves to the XLA scans so library code
+    can default to ``engine="pallas"`` safely (e.g. the CPU/x64 test suite).
+    """
+    if engine != "pallas":
+        return "xla"
+    if F.ndim != 3 or F.shape[-3] > 3 or F.dtype != jnp.float32:
+        return "xla"
+    if jax.default_backend() == "cpu":
+        return "xla"
+    return "pallas"
 
 #: time steps per grid step (must be divisible by PALLAS_BLOCK)
 PALLAS_CHUNK = 4096
