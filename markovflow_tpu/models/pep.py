@@ -117,7 +117,8 @@ class PowerExpectationPropagation(GaussianProcessWithSitesBase):
     def elbo(self) -> jnp.ndarray:
         """Marginal likelihood of the site-augmented model
         (reference: pep.py:217-221)."""
-        return self.posterior_kalman.log_likelihood()
+        return self.posterior_kalman.log_likelihood(
+            grad_engine=getattr(self, "grad_engine", "autodiff"))
 
     def energy(self) -> jnp.ndarray:
         """PEP energy (reference: pep.py:223-230)."""

@@ -45,13 +45,14 @@ __all__ = ["pallas_filter_scan", "pallas_smoother_scan", "pick_scan_engine",
 def pick_scan_engine(F, engine: str) -> str:
     """Resolve an engine request against kernel eligibility.
 
-    The Pallas kernels are unbatched, d <= 3, float32, and TPU-only; any
-    ineligible request silently resolves to the XLA scans so library code
-    can default to ``engine="pallas"`` safely (e.g. the CPU/x64 test suite).
+    The Pallas kernels support arbitrary leading batch dims (a batch grid
+    axis), d <= 3, float32, TPU backends only; any ineligible request
+    silently resolves to the XLA scans so library code can default to
+    ``engine="pallas"`` safely (e.g. the CPU/x64 test suite).
     """
     if engine != "pallas":
         return "xla"
-    if F.ndim != 3 or F.shape[-3] > 3 or F.dtype != jnp.float32:
+    if F.ndim < 3 or F.shape[-3] > 3 or F.dtype != jnp.float32:
         return "xla"
     if jax.default_backend() == "cpu":
         return "xla"
@@ -153,22 +154,22 @@ def _smoother_identity(d, db, lanes, dtype):
 # the transposes fuse into the element-producer / consumer chains.
 # --------------------------------------------------------------------------
 def _to_blocked(x, r_blk):
-    d0, d1, n = x.shape
-    return jnp.swapaxes(x.reshape(d0, d1, n // r_blk, r_blk), -1, -2)
+    bdim, d0, d1, n = x.shape
+    return jnp.swapaxes(x.reshape(bdim, d0, d1, n // r_blk, r_blk), -1, -2)
 
 
 def _from_blocked(x):
-    d0, d1, r_blk, nb = x.shape
-    return jnp.swapaxes(x, -1, -2).reshape(d0, d1, nb * r_blk)
+    bdim, d0, d1, r_blk, nb = x.shape
+    return jnp.swapaxes(x, -1, -2).reshape(bdim, d0, d1, nb * r_blk)
 
 
 def _filter_kernel(a_ref, b_ref, c_ref, j_ref, e_ref, mb_ref, pc_ref,
                    carry_a, carry_b, carry_c, carry_j, carry_e,
                    *, r_blk, lanes):
-    d = a_ref.shape[0]
-    db = b_ref.shape[1]
+    d = a_ref.shape[1]
+    db = b_ref.shape[2]
     dtype = a_ref.dtype
-    i = pl.program_id(0)
+    i = pl.program_id(1)
 
     @pl.when(i == 0)
     def _init():
@@ -180,8 +181,9 @@ def _filter_kernel(a_ref, b_ref, c_ref, j_ref, e_ref, mb_ref, pc_ref,
         carry_e[...] = ident[4]
 
     def elem(r):
-        return (a_ref[:, :, r, :], b_ref[:, :, r, :], c_ref[:, :, r, :],
-                j_ref[:, :, r, :], e_ref[:, :, r, :])
+        return (a_ref[0, :, :, r, :], b_ref[0, :, :, r, :],
+                c_ref[0, :, :, r, :], j_ref[0, :, :, r, :],
+                e_ref[0, :, :, r, :])
 
     # 1. within-block sequential prefixes (vectorized over the L lanes)
     pref = [elem(0)]
@@ -214,8 +216,8 @@ def _filter_kernel(a_ref, b_ref, c_ref, j_ref, e_ref, mb_ref, pc_ref,
     # 3. fold the exclusive prefix into each within-block prefix
     for r in range(r_blk):
         out_r = _combine(exc, pref[r])
-        mb_ref[:, :, r, :] = out_r[1]
-        pc_ref[:, :, r, :] = out_r[2]
+        mb_ref[0, :, :, r, :] = out_r[1]
+        pc_ref[0, :, :, r, :] = out_r[2]
 
     # 4. new carry: the full prefix at the last element of the chunk
     exc_last = tuple(x[..., -1:] for x in exc)
@@ -230,10 +232,10 @@ def _filter_kernel(a_ref, b_ref, c_ref, j_ref, e_ref, mb_ref, pc_ref,
 
 def _smoother_kernel(e_ref, g_ref, l_ref, mg_ref, pl_ref,
                      carry_e, carry_g, carry_l, *, r_blk, lanes):
-    d = e_ref.shape[0]
-    db = g_ref.shape[1]
+    d = e_ref.shape[1]
+    db = g_ref.shape[2]
     dtype = e_ref.dtype
-    i = pl.program_id(0)
+    i = pl.program_id(1)
 
     @pl.when(i == 0)
     def _init():
@@ -243,7 +245,8 @@ def _smoother_kernel(e_ref, g_ref, l_ref, mg_ref, pl_ref,
         carry_l[...] = ident[2]
 
     def elem(r):
-        return (e_ref[:, :, r, :], g_ref[:, :, r, :], l_ref[:, :, r, :])
+        return (e_ref[0, :, :, r, :], g_ref[0, :, :, r, :],
+                l_ref[0, :, :, r, :])
 
     # 1. within-block sequential suffixes (r_blk-1 ... 0)
     suf = [elem(r_blk - 1)]
@@ -277,8 +280,8 @@ def _smoother_kernel(e_ref, g_ref, l_ref, mg_ref, pl_ref,
     # 3. fold the exclusive suffix into each within-block suffix
     for r in range(r_blk):
         out_r = _combine_smoother(exc, suf[r])
-        mg_ref[:, :, r, :] = out_r[1]
-        pl_ref[:, :, r, :] = out_r[2]
+        mg_ref[0, :, :, r, :] = out_r[1]
+        pl_ref[0, :, :, r, :] = out_r[2]
 
     # 4. new carry: the full suffix at the first element of the chunk
     exc_first = tuple(x[..., :1] for x in exc)
@@ -296,43 +299,53 @@ def _split_chunk(chunk):
     return r_blk, chunk // r_blk
 
 
+def _flatten_batch(x):
+    """[..., d, db, N] -> [B, d, db, N] (B = prod of leading dims, >= 1)."""
+    lead = x.shape[:-3]
+    return x.reshape((-1,) + x.shape[-3:]), lead
+
+
 def pallas_filter_scan(elems, *, chunk: int = PALLAS_CHUNK,
                        interpret: bool = False):
     """Filtered means/covs from TL-layout FilterElements.
 
-    elems: (A [d,d,N], b [d,1,N], C [d,d,N], J [d,d,N], eta [d,1,N])
-    (unbatched).  Returns (m_f [d,1,N], P_f [d,d,N]).
+    elems: (A [..., d,d,N], b [..., d,1,N], C [..., d,d,N], J [..., d,d,N],
+    eta [..., d,1,N]) with arbitrary (possibly empty) leading batch dims —
+    batches become a leading grid dimension (the carry resets at chunk 0 of
+    every batch row).  Returns (m_f [..., d,1,N], P_f [..., d,d,N]).
     """
-    a, b, c, j, e = elems
-    d = a.shape[0]
-    db = b.shape[1]
+    lead = elems[0].shape[:-3]
+    a, b, c, j, e = (x.reshape((-1,) + x.shape[-3:]) for x in elems)
+    bdim = a.shape[0]
+    d = a.shape[1]
+    db = b.shape[2]
     n = a.shape[-1]
     r_blk, lanes = _split_chunk(chunk)
     num_chunks = -(-n // chunk)
     pad = num_chunks * chunk - n
     if pad:
         ident = _identity_elem(d, db, pad, a.dtype)
-        a = jnp.concatenate([a, ident[0]], axis=-1)
-        b = jnp.concatenate([b, ident[1]], axis=-1)
-        c = jnp.concatenate([c, ident[2]], axis=-1)
-        j = jnp.concatenate([j, ident[3]], axis=-1)
-        e = jnp.concatenate([e, ident[4]], axis=-1)
+        cat = lambda x, i: jnp.concatenate(
+            [x, jnp.broadcast_to(i, (bdim,) + i.shape)], axis=-1)
+        a, b, c = cat(a, ident[0]), cat(b, ident[1]), cat(c, ident[2])
+        j, e = cat(j, ident[3]), cat(e, ident[4])
     blk = functools.partial(_to_blocked, r_blk=r_blk)
     a, b, c, j, e = blk(a), blk(b), blk(c), blk(j), blk(e)
 
-    mat_spec = pl.BlockSpec((d, d, r_blk, lanes), lambda i: (0, 0, 0, i),
+    idx = lambda bi, i: (bi, 0, 0, 0, i)
+    mat_spec = pl.BlockSpec((1, d, d, r_blk, lanes), idx,
                             memory_space=pltpu.VMEM)
-    vec_spec = pl.BlockSpec((d, db, r_blk, lanes), lambda i: (0, 0, 0, i),
+    vec_spec = pl.BlockSpec((1, d, db, r_blk, lanes), idx,
                             memory_space=pltpu.VMEM)
     nb_tot = num_chunks * lanes
     out = pl.pallas_call(
         functools.partial(_filter_kernel, r_blk=r_blk, lanes=lanes),
-        grid=(num_chunks,),
+        grid=(bdim, num_chunks),
         in_specs=[mat_spec, vec_spec, mat_spec, mat_spec, vec_spec],
         out_specs=(vec_spec, mat_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((d, db, r_blk, nb_tot), a.dtype),
-            jax.ShapeDtypeStruct((d, d, r_blk, nb_tot), a.dtype),
+            jax.ShapeDtypeStruct((bdim, d, db, r_blk, nb_tot), a.dtype),
+            jax.ShapeDtypeStruct((bdim, d, d, r_blk, nb_tot), a.dtype),
         ),
         scratch_shapes=[
             pltpu.VMEM((d, d, 1), a.dtype),
@@ -344,20 +357,25 @@ def pallas_filter_scan(elems, *, chunk: int = PALLAS_CHUNK,
         interpret=interpret,
     )(a, b, c, j, e)
     m_f, p_f = _from_blocked(out[0]), _from_blocked(out[1])
-    return m_f[..., :n], p_f[..., :n]
+    return (m_f[..., :n].reshape(lead + (d, db, n)),
+            p_f[..., :n].reshape(lead + (d, d, n)))
 
 
 def pallas_smoother_scan(elems, *, chunk: int = PALLAS_CHUNK,
                          interpret: bool = False):
-    """Reverse (suffix) smoothing scan: elems = (E [d,d,N], g [d,1,N],
-    L [d,d,N]) in TL layout, unbatched.  Returns (m_s [d,1,N], P_s [d,d,N]).
+    """Reverse (suffix) smoothing scan: elems = (E [..., d,d,N],
+    g [..., d,1,N], L [..., d,d,N]) in TL layout, arbitrary leading batch
+    dims.  Returns (m_s [..., d,1,N], P_s [..., d,d,N]).
 
-    Grid runs back-to-front; the carry holds the suffix combination of all
-    later chunks.
+    Grid runs back-to-front over chunks (with a leading batch grid axis);
+    the carry holds the suffix combination of all later chunks and resets
+    at the start of each batch row.
     """
-    e, g, l = elems
-    d = e.shape[0]
-    db = g.shape[1]
+    lead = elems[0].shape[:-3]
+    e, g, l = (x.reshape((-1,) + x.shape[-3:]) for x in elems)
+    bdim = e.shape[0]
+    d = e.shape[1]
+    db = g.shape[2]
     n = e.shape[-1]
     r_blk, lanes = _split_chunk(chunk)
     num_chunks = -(-n // chunk)
@@ -365,26 +383,26 @@ def pallas_smoother_scan(elems, *, chunk: int = PALLAS_CHUNK,
     if pad:
         ident = _smoother_identity(d, db, pad, e.dtype)
         # pad at the FRONT for a reverse scan
-        e = jnp.concatenate([ident[0], e], axis=-1)
-        g = jnp.concatenate([ident[1], g], axis=-1)
-        l = jnp.concatenate([ident[2], l], axis=-1)
+        cat = lambda x, i: jnp.concatenate(
+            [jnp.broadcast_to(i, (bdim,) + i.shape), x], axis=-1)
+        e, g, l = cat(e, ident[0]), cat(g, ident[1]), cat(l, ident[2])
     blk = functools.partial(_to_blocked, r_blk=r_blk)
     e, g, l = blk(e), blk(g), blk(l)
 
-    rev = lambda i: (0, 0, 0, pl.num_programs(0) - 1 - i)
-    mat_spec = pl.BlockSpec((d, d, r_blk, lanes), rev,
+    rev = lambda bi, i: (bi, 0, 0, 0, pl.num_programs(1) - 1 - i)
+    mat_spec = pl.BlockSpec((1, d, d, r_blk, lanes), rev,
                             memory_space=pltpu.VMEM)
-    vec_spec = pl.BlockSpec((d, db, r_blk, lanes), rev,
+    vec_spec = pl.BlockSpec((1, d, db, r_blk, lanes), rev,
                             memory_space=pltpu.VMEM)
     nb_tot = num_chunks * lanes
     out = pl.pallas_call(
         functools.partial(_smoother_kernel, r_blk=r_blk, lanes=lanes),
-        grid=(num_chunks,),
+        grid=(bdim, num_chunks),
         in_specs=[mat_spec, vec_spec, mat_spec],
         out_specs=(vec_spec, mat_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((d, db, r_blk, nb_tot), e.dtype),
-            jax.ShapeDtypeStruct((d, d, r_blk, nb_tot), e.dtype),
+            jax.ShapeDtypeStruct((bdim, d, db, r_blk, nb_tot), e.dtype),
+            jax.ShapeDtypeStruct((bdim, d, d, r_blk, nb_tot), e.dtype),
         ),
         scratch_shapes=[
             pltpu.VMEM((d, d, 1), e.dtype),
@@ -394,4 +412,5 @@ def pallas_smoother_scan(elems, *, chunk: int = PALLAS_CHUNK,
         interpret=interpret,
     )(e, g, l)
     m_s, p_s = _from_blocked(out[0]), _from_blocked(out[1])
-    return m_s[..., pad:], p_s[..., pad:]
+    return (m_s[..., pad:].reshape(lead + (d, db, n)),
+            p_s[..., pad:].reshape(lead + (d, d, n)))

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from .ssm_gaussian_transformations import (
     expectations_to_ssm_params,
     naturals_to_ssm,
+    naturals_to_ssm_params_parallel,
     ssm_to_expectations,
     ssm_to_naturals,
 )
@@ -44,12 +45,25 @@ class SSMNaturalGradient:
 
     def __init__(self, gamma: float = 0.1, momentum: bool = False,
                  beta1: float = 0.9, beta2: float = 0.99,
-                 epsilon: float = 1e-8):
+                 epsilon: float = 1e-8, naturals_engine: str = "sequential"):
+        """``naturals_engine``: how theta -> SSM is inverted each step.
+        "sequential" is the UDU backward recursion (O(N) depth, matches the
+        reference bit-for-bit); "parallel" is the O(log N)-depth
+        synthetic-model reduction (:func:`naturals_to_ssm_params_parallel`)
+        — the right choice on TPU for dense-grid VGP training."""
         self.gamma = gamma
         self.momentum = momentum
         self.beta1 = beta1
         self.beta2 = beta2
         self.epsilon = epsilon
+        self.naturals_engine = naturals_engine
+
+    def _naturals_to_ssm(self, theta) -> StateSpaceModel:
+        if self.naturals_engine == "parallel":
+            a_s, b_s, chol_p0, chol_q_s, mu0 = naturals_to_ssm_params_parallel(
+                *theta)
+            return StateSpaceModel(mu0, chol_p0, a_s, b_s, chol_q_s)
+        return naturals_to_ssm(*theta)
 
     def init(self, ssm: StateSpaceModel) -> NatGradState:
         if not self.momentum:
@@ -97,5 +111,5 @@ class SSMNaturalGradient:
             theta_new = jax.tree_util.tree_map(
                 lambda t, g: t - self.gamma * g, theta, g_eta)
             state = NatGradState(None, state.fisher_norm, state.count + 1)
-        new_ssm = naturals_to_ssm(*theta_new)
+        new_ssm = self._naturals_to_ssm(theta_new)
         return new_ssm, state, loss

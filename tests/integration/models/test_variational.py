@@ -100,3 +100,33 @@ def test_vgp_bernoulli_classification_trains(rng):
     p, _ = vgp.with_dist_q(ssm).posterior.predict_y(x)
     acc = float(jnp.mean((np.asarray(p)[:, 0] > 0.5) == (labels[:, 0] > 0.5)))
     assert acc > 0.9
+
+
+def test_vgp_natgrad_parallel_engine_matches_sequential(rng):
+    """naturals_engine="parallel" (O(log N) synthetic-model reduction) takes
+    the same natgrad step as the sequential UDU path."""
+    x, y = make_data(rng, n=20)
+    kernel = Matern32(lengthscale=0.7, variance=1.2)
+    lik = Gaussian(variance=NOISE**2)
+    vgp = VariationalGaussianProcess((x, y), kernel, lik)
+    gpr = GaussianProcessRegression(
+        (x, y), Matern32(lengthscale=0.7, variance=1.2),
+        jnp.asarray([[NOISE]]))
+
+    def loss_of_ssm(ssm):
+        return vgp.with_dist_q(ssm).loss()
+
+    ssm0 = vgp.dist_q.non_trainable_copy()
+    seq = SSMNaturalGradient(gamma=0.6)
+    par = SSMNaturalGradient(gamma=0.6, naturals_engine="parallel")
+    ssm_s, _, _ = seq.step(loss_of_ssm, ssm0)
+    ssm_p, _, _ = par.step(loss_of_ssm, ssm0)
+    for a, b in zip(jax.tree_util.tree_leaves(ssm_s),
+                    jax.tree_util.tree_leaves(ssm_p)):
+        assert_allclose(np.asarray(b), np.asarray(a), atol=1e-7)
+
+    # gamma=1 with the parallel engine still lands exactly on the GPR optimum
+    par1 = SSMNaturalGradient(gamma=1.0, naturals_engine="parallel")
+    ssm1, _, _ = par1.step(loss_of_ssm, ssm0)
+    assert_allclose(float(vgp.with_dist_q(ssm1).elbo()),
+                    float(gpr.log_likelihood()), rtol=1e-8)

@@ -65,3 +65,34 @@ def test_pallas_smoother_matches_reference(rng, t_len):
     p_got = jnp.moveaxis(p_tl, -1, -3)
     assert_allclose(np.asarray(m_got), np.asarray(m_ref), atol=1e-9)
     assert_allclose(np.asarray(p_got), np.asarray(p_ref), atol=1e-9)
+
+
+def test_pallas_scan_batched(rng):
+    """Batched inputs run as a leading grid axis; each batch row must match
+    the per-row unbatched result (carry resets per row)."""
+    from markovflow_tpu.ops.pallas_scan import pallas_smoother_scan
+
+    d, o, t_len, B = 2, 1, 70, 3
+    elems_rows = []
+    for _ in range(B):
+        mu0, l0, A, b, lq = npk.random_ssm(rng, t_len, d)
+        H = rng.standard_normal((o, d))
+        R = np.eye(o) * 0.3
+        ys = rng.standard_normal((t_len + 1, o))
+        ssm = StateSpaceModel(*[jnp.asarray(v) for v in (mu0, l0, A, b, lq)])
+        F, c, Q = K.prior_step_arrays(ssm)
+        lam = jnp.broadcast_to(jnp.asarray(np.linalg.inv(R)),
+                               (t_len + 1, o, o))
+        nu = jnp.asarray(ys @ np.linalg.inv(R).T)
+        Hs = jnp.broadcast_to(jnp.asarray(H), (t_len + 1, o, d))
+        elems_rows.append(K.make_filter_elements(F, c, Q, Hs, nu, lam))
+    to_tl = lambda x: jnp.moveaxis(x, -3, -1)
+    batched = tuple(jnp.stack([to_tl(r[i]) for r in elems_rows])
+                    for i in range(5))
+    m_b, p_b = pallas_filter_scan(batched, chunk=64, interpret=True)
+    assert m_b.shape == (B, d, 1, t_len + 1)
+    for i, row in enumerate(elems_rows):
+        m_i, p_i = pallas_filter_scan(
+            tuple(to_tl(x) for x in row), chunk=64, interpret=True)
+        assert_allclose(np.asarray(m_b[i]), np.asarray(m_i), atol=1e-12)
+        assert_allclose(np.asarray(p_b[i]), np.asarray(p_i), atol=1e-12)
