@@ -91,6 +91,17 @@ class _BlockTriDiagonal:
                 out = out.at[..., :-1, :].add(up)
         return out
 
+    def dense_mult(self, right: jnp.ndarray) -> jnp.ndarray:
+        """Multiply by a dense matrix [..., N*d, m] -> [..., N*d, m]
+        without materializing the band (reference: block_tri_diag.py:175,
+        ``product_band_mat`` with a matrix right-hand side)."""
+        n, d = self.num_blocks, self.block_dim
+        m = right.shape[-1]
+        cols = jnp.moveaxis(
+            right.reshape(right.shape[:-2] + (n, d, m)), -1, 0)  # [m,...,N,d]
+        out = jax.vmap(self.block_mult_vector)(cols)
+        return jnp.moveaxis(out, 0, -1).reshape(right.shape)
+
 
 class LowerTriangularBlockTriDiagonal(_BlockTriDiagonal):
     """Block-bidiagonal lower-triangular matrix (e.g. a Cholesky factor).

@@ -65,46 +65,39 @@ from .scans import scan_tl
 __all__ = ["log_likelihood_koopman"]
 
 
-def _adjoint_grads(F, c, Q, H, nu, lam, maskf, m_f, p_f, engine="xla"):
-    """All six gradients from the saved filter results, in TL layout."""
+def adjoint_scan_elements(F, c, Q, H, nu, lam, m_prev, p_prev, f_next):
+    """Elementwise stage 1: predicted quantities + reverse-scan elements.
+
+    ``m_prev``/``p_prev`` are the filtered moments shifted right by one
+    (zeros at the global first element); ``f_next`` is F shifted left by one
+    (zeros at the global last element).  Exposing the shifts as inputs lets
+    the sequence-sharded path supply them via ppermute.
+    Returns (a, pp, e, l_mat, g_elem, v_elem).
+    """
     mm, t = _mm_tl, _t_tl
     d = F.shape[-3]
     o = lam.shape[-3]
     eye_d = _eye_tl(d, F.dtype)
     eye_o = _eye_tl(o, F.dtype)
-
-    zpad = lambda x: jnp.concatenate(
-        [jnp.zeros_like(x[..., :1]), x], axis=-1)
-    m_prev = zpad(m_f[..., :-1])                    # m_{k-1} (0 at k=0)
-    p_prev = zpad(p_f[..., :-1])                    # P_{k-1} (0 at k=0)
-
-    # predicted moments (elementwise from saved filter results)
     a = mm(F, m_prev) + c                           # a_0 = c_0 (F_0 = 0)
     pp = _sym_tl(mm(F, mm(p_prev, t(F))) + Q)       # Pp_0 = Q_0
-
     hpht = mm(H, mm(pp, t(H)))                      # [o, o, N]
     zt = _inv_tl(eye_o + mm(lam, hpht))             # (I + Lam H Pp H^T)^-1
     w = _sym_tl(mm(zt, lam))                        # S^{-1}
     e = mm(zt, nu - mm(lam, mm(H, a)))              # [o, 1, N]
     kh = mm(pp, mm(t(H), mm(w, H)))                 # K H  [d, d, N]
-    # L_k = F_{k+1} (I - K_k H_k); zero-pad the (unused) last element
-    i_kh = eye_d - kh
-    l_mat = jnp.concatenate(
-        [mm(F[..., 1:], i_kh[..., :-1]), jnp.zeros_like(F[..., :1])],
-        axis=-1)
-
+    l_mat = mm(f_next, eye_d - kh)                  # L_k = F_{k+1}(I - K H)
     g_elem = mm(t(H), e)                            # H^T e  [d, 1, N]
     v_elem = _sym_tl(mm(t(H), mm(w, H)))            # H^T S^-1 H  [d, d, N]
-    if engine == "pallas":
-        # same (E, g, ell) suffix composition as the RTS smoother kernel
-        from .pallas_scan import pallas_smoother_scan
+    return a, pp, e, l_mat, g_elem, v_elem
 
-        r, ndk = pallas_smoother_scan((t(l_mat), g_elem, v_elem))
-    else:
-        res = scan_tl(_combine_smoother_tl, _smoother_identity_like,
-                      (t(l_mat), g_elem, v_elem), reverse=True)
-        r, ndk = res[1], res[2]                     # [d,1,N], [d,d,N]
 
+def adjoint_grads_from_scan(F, c, Q, H, nu, lam, maskf, m_prev, p_prev,
+                            a, pp, r, ndk):
+    """Elementwise stage 2: the six gradients from the adjoint scan results."""
+    mm, t = _mm_tl, _t_tl
+    o = lam.shape[-3]
+    eye_o = _eye_tl(o, F.dtype)
     n_mat = 0.5 * (mm(r, t(r)) - ndk)               # dL/dPp_k
     g_q = n_mat
     g_c = r
@@ -125,6 +118,29 @@ def _adjoint_grads(F, c, Q, H, nu, lam, maskf, m_f, p_f, engine="xla"):
     g_lam = jnp.where(keep > 0.5, g_lam, 0.0)
     g_h = jnp.where(keep > 0.5, g_h, 0.0)
     return g_f, g_c, g_q, g_h, g_nu, g_lam
+
+
+def _adjoint_grads(F, c, Q, H, nu, lam, maskf, m_f, p_f, engine="xla"):
+    """All six gradients from the saved filter results, in TL layout."""
+    zpad = lambda x: jnp.concatenate(
+        [jnp.zeros_like(x[..., :1]), x], axis=-1)
+    m_prev = zpad(m_f[..., :-1])                    # m_{k-1} (0 at k=0)
+    p_prev = zpad(p_f[..., :-1])                    # P_{k-1} (0 at k=0)
+    f_next = jnp.concatenate(
+        [F[..., 1:], jnp.zeros_like(F[..., :1])], axis=-1)
+    a, pp, e, l_mat, g_elem, v_elem = adjoint_scan_elements(
+        F, c, Q, H, nu, lam, m_prev, p_prev, f_next)
+    if engine == "pallas":
+        # same (E, g, ell) suffix composition as the RTS smoother kernel
+        from .pallas_scan import pallas_smoother_scan
+
+        r, ndk = pallas_smoother_scan((_t_tl(l_mat), g_elem, v_elem))
+    else:
+        res = scan_tl(_combine_smoother_tl, _smoother_identity_like,
+                      (_t_tl(l_mat), g_elem, v_elem), reverse=True)
+        r, ndk = res[1], res[2]                     # [d,1,N], [d,d,N]
+    return adjoint_grads_from_scan(F, c, Q, H, nu, lam, maskf,
+                                   m_prev, p_prev, a, pp, r, ndk)
 
 
 def _make(engine: str):

@@ -292,8 +292,8 @@ def _smoother_kernel(e_ref, g_ref, l_ref, mg_ref, pl_ref,
     carry_l[...] = new_carry[2]
 
 
-def _split_chunk(chunk):
-    r_blk = PALLAS_BLOCK
+def _split_chunk(chunk, r_blk=None):
+    r_blk = PALLAS_BLOCK if r_blk is None else r_blk
     while r_blk > 1 and chunk % r_blk:
         r_blk //= 2
     return r_blk, chunk // r_blk
@@ -306,7 +306,7 @@ def _flatten_batch(x):
 
 
 def pallas_filter_scan(elems, *, chunk: int = PALLAS_CHUNK,
-                       interpret: bool = False):
+                       r_blk: int = None, interpret: bool = False):
     """Filtered means/covs from TL-layout FilterElements.
 
     elems: (A [..., d,d,N], b [..., d,1,N], C [..., d,d,N], J [..., d,d,N],
@@ -320,7 +320,7 @@ def pallas_filter_scan(elems, *, chunk: int = PALLAS_CHUNK,
     d = a.shape[1]
     db = b.shape[2]
     n = a.shape[-1]
-    r_blk, lanes = _split_chunk(chunk)
+    r_blk, lanes = _split_chunk(chunk, r_blk)
     num_chunks = -(-n // chunk)
     pad = num_chunks * chunk - n
     if pad:
@@ -362,7 +362,7 @@ def pallas_filter_scan(elems, *, chunk: int = PALLAS_CHUNK,
 
 
 def pallas_smoother_scan(elems, *, chunk: int = PALLAS_CHUNK,
-                         interpret: bool = False):
+                         r_blk: int = None, interpret: bool = False):
     """Reverse (suffix) smoothing scan: elems = (E [..., d,d,N],
     g [..., d,1,N], L [..., d,d,N]) in TL layout, arbitrary leading batch
     dims.  Returns (m_s [..., d,1,N], P_s [..., d,d,N]).
@@ -377,7 +377,7 @@ def pallas_smoother_scan(elems, *, chunk: int = PALLAS_CHUNK,
     d = e.shape[1]
     db = g.shape[2]
     n = e.shape[-1]
-    r_blk, lanes = _split_chunk(chunk)
+    r_blk, lanes = _split_chunk(chunk, r_blk)
     num_chunks = -(-n // chunk)
     pad = num_chunks * chunk - n
     if pad:

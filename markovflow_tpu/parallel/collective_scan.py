@@ -39,6 +39,7 @@ __all__ = [
     "sharded_scan_tl",
     "sharded_filter_pipeline_tl",
     "sharded_smoother_pipeline_tl",
+    "sharded_log_likelihood_koopman",
 ]
 
 
@@ -181,6 +182,63 @@ def sharded_filter_pipeline_tl(F, c, Q, H, nu, lam, mask=None, *,
         mesh=mesh, in_specs=in_specs + (_time_spec(maskf, axis),),
         out_specs=out_specs)
     return fn(*args, maskf)
+
+
+def _koopman_bwd_body(F, c, Q, H, nu, lam, maskf, m_f, p_f, g, axis_name):
+    from ..ops.adjoint import adjoint_grads_from_scan, adjoint_scan_elements
+
+    m_prev = _shift_from_prev(m_f, axis_name)
+    p_prev = _shift_from_prev(p_f, axis_name)
+    f_next = _shift_from_next(F, axis_name)
+    a, pp, e, l_mat, g_elem, v_elem = adjoint_scan_elements(
+        F, c, Q, H, nu, lam, m_prev, p_prev, f_next)
+    res = sharded_scan_tl(K._combine_smoother_tl, K._smoother_identity_like,
+                          (K._t_tl(l_mat), g_elem, v_elem), axis_name,
+                          reverse=True)
+    r, ndk = res[1], res[2]
+    grads = adjoint_grads_from_scan(F, c, Q, H, nu, lam, maskf,
+                                    m_prev, p_prev, a, pp, r, ndk)
+    gg = g[..., None, None, None]
+    return tuple(gg * x for x in grads) + (jnp.zeros_like(maskf),)
+
+
+def sharded_log_likelihood_koopman(F, c, Q, H, nu, lam, mask=None, *,
+                                   mesh: Mesh, axis: str = "sp"):
+    """Sequence-sharded site-form log marginal likelihood with the analytic
+    Koopman VJP (:mod:`markovflow_tpu.ops.adjoint`) — both the forward
+    filter and the backward adjoint run as explicit-collective scans, so a
+    training step over P sequence shards communicates O(P d^2) per scan
+    plus two boundary ppermutes, independent of T.
+    """
+    n = F.shape[-1]
+    maskf = jnp.ones(F.shape[:-3] + (n,), F.dtype) if mask is None else \
+        jnp.broadcast_to(mask, F.shape[:-3] + (n,)).astype(F.dtype)
+
+    t_spec = functools.partial(_time_spec, axis=axis)
+    arg_specs = tuple(t_spec(x) for x in (F, c, Q, H, nu, lam)) + \
+        (t_spec(maskf),)
+
+    @jax.custom_vjp
+    def ll(F, c, Q, H, nu, lam, maskf):
+        return sharded_filter_pipeline_tl(
+            F, c, Q, H, nu, lam, mask=maskf > 0.5, mesh=mesh, axis=axis)[2]
+
+    def fwd(F, c, Q, H, nu, lam, maskf):
+        m_f, p_f, out = sharded_filter_pipeline_tl(
+            F, c, Q, H, nu, lam, mask=maskf > 0.5, mesh=mesh, axis=axis)
+        return out, (F, c, Q, H, nu, lam, maskf, m_f, p_f)
+
+    def bwd(res, g):
+        F = res[0]
+        body = jax.shard_map(
+            functools.partial(_koopman_bwd_body, axis_name=axis),
+            mesh=mesh,
+            in_specs=arg_specs + (t_spec(F), t_spec(F), P()),
+            out_specs=arg_specs)
+        return body(*res, g)
+
+    ll.defvjp(fwd, bwd)
+    return ll(F, c, Q, H, nu, lam, maskf)
 
 
 def sharded_smoother_pipeline_tl(F, c, Q, m_f, p_f, *, mesh: Mesh,

@@ -94,3 +94,25 @@ def test_sharded_smoother_matches_unsharded(rng):
     assert_allclose(np.asarray(gains)[..., :-1], np.asarray(gains_ref),
                     atol=1e-10)
     assert_allclose(np.asarray(gains)[..., -1], 0.0, atol=0)
+
+
+def test_sharded_koopman_grads_match_unsharded(rng):
+    from markovflow_tpu.ops.adjoint import log_likelihood_koopman
+    from markovflow_tpu.parallel.collective_scan import (
+        sharded_log_likelihood_koopman,
+    )
+
+    args = _tl_inputs(rng, 63, 2)
+    v_ref, g_ref = jax.value_and_grad(
+        lambda *a: log_likelihood_koopman(*a, engine="xla"),
+        argnums=(0, 1, 2, 4, 5))(*args)
+
+    mesh = make_mesh(dp=1, sp=8)
+    sharded = _shard_time(mesh, args)
+    with mesh:
+        v, g = jax.jit(jax.value_and_grad(
+            lambda *a: sharded_log_likelihood_koopman(*a, mesh=mesh),
+            argnums=(0, 1, 2, 4, 5)))(*sharded)
+    assert_allclose(float(v), float(v_ref), rtol=1e-12)
+    for a, b in zip(g_ref, g):
+        assert_allclose(np.asarray(b), np.asarray(a), atol=1e-9)

@@ -112,3 +112,19 @@ def test_batched_cholesky(rng):
             LowerTriangularBlockTriDiagonal(chol.diag[i], chol.lower[i]).to_dense()
         )
         assert_allclose(got, np.linalg.cholesky(dense), atol=1e-10)
+
+
+def test_dense_mult_matches_dense(rng):
+    """dense_mult (band x dense matrix, reference: block_tri_diag.py:175)
+    equals the materialized product."""
+    from markovflow_tpu.block_tri_diag import SymmetricBlockTriDiagonal
+
+    n, d, m = 5, 2, 3
+    diag_raw = rng.standard_normal((n, d, d))
+    diag = diag_raw @ np.swapaxes(diag_raw, -1, -2) + 3 * np.eye(d)
+    lower = rng.standard_normal((n - 1, d, d))
+    mat = SymmetricBlockTriDiagonal(jnp.asarray(diag), jnp.asarray(lower))
+    right = jnp.asarray(rng.standard_normal((n * d, m)))
+    got = mat.dense_mult(right)
+    want = np.asarray(mat.to_dense()) @ np.asarray(right)
+    assert_allclose(np.asarray(got), want, atol=1e-10)
