@@ -31,23 +31,31 @@ from .variational_cvi import gradient_transformation_mean_var_to_expectation
 __all__ = ["SparseCVIGaussianProcess", "pair_site_posterior"]
 
 
-def pair_site_posterior(dist_p: StateSpaceModel, nat1, nat2) -> StateSpaceModel:
+def pair_site_posterior(dist_p: StateSpaceModel, nat1, nat2,
+                        engine: str = "sequential") -> StateSpaceModel:
     """Posterior SSM from prior naturals + pair-site naturals.
 
     nat1 [..., M+1, 2d], nat2 [..., M+1, 2d, 2d]; site m couples inducing
     states (u_{m-1}, u_m) with phantom ends dropped
     (reference: sparse_variational_cvi.py:139-174, sparse_pep.py:198-232).
+    ``engine="parallel"`` inverts the naturals with the O(log M)-depth
+    synthetic-model reduction instead of the sequential UDU recursion —
+    preferable on TPU for large inducing grids.
     """
     d = dist_p.state_dim
     theta_linear, theta_diag, theta_subdiag = ssm_to_naturals(dist_p)
-    lik_nat1 = nat1[..., 1:, :d] + nat1[..., :-1, d:]
-    lik_nat2_diag = nat2[..., 1:, :d, :d] + nat2[..., :-1, d:, d:]
-    lik_nat2_sub = nat2[..., 1:-1, d:, :d]
-    return naturals_to_ssm(
-        theta_linear + lik_nat1,
-        theta_diag + lik_nat2_diag,
-        theta_subdiag + 2.0 * lik_nat2_sub,
-    )
+    theta = (theta_linear + nat1[..., 1:, :d] + nat1[..., :-1, d:],
+             theta_diag + nat2[..., 1:, :d, :d] + nat2[..., :-1, d:, d:],
+             theta_subdiag + 2.0 * nat2[..., 1:-1, d:, :d])
+    if engine == "parallel":
+        from ..ssm_gaussian_transformations import (
+            naturals_to_ssm_params_parallel,
+        )
+
+        a_s, b_s, chol_p0, chol_q_s, mu0 = naturals_to_ssm_params_parallel(
+            *theta)
+        return StateSpaceModel(mu0, chol_p0, a_s, b_s, chol_q_s)
+    return naturals_to_ssm(*theta)
 
 
 class SparseCVIGaussianProcess(MarkovFlowSparseModel):

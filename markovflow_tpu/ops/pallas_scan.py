@@ -60,8 +60,12 @@ def pick_scan_engine(F, engine: str) -> str:
 
 #: time steps per grid step (must be divisible by PALLAS_BLOCK)
 PALLAS_CHUNK = 4096
-#: contiguous time steps owned by one lane (sublane axis; 8 = f32 tile height)
-PALLAS_BLOCK = 8
+#: contiguous time steps owned by one lane (the sublane axis).  32 makes
+#: lanes = PALLAS_CHUNK / 32 = 128 — exactly one hardware lane tile, which
+#: measured 7-9x faster than r_blk = 8 / lanes = 512 at T = 1e6 (0.7-0.9 ms
+#: vs 6.2 ms for the forward filter scan; accuracy unchanged, and the
+#: longer sequential in-block runs only improve the roundoff bracketing).
+PALLAS_BLOCK = 32
 
 
 def _mm(a, b):

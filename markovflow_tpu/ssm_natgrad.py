@@ -14,6 +14,15 @@ in JAX it is one ``jax.vjp`` through ``expectations_to_ssm_params``:
 Pure-functional: ``step`` returns a new SSM (raw array fields), not an
 in-place update.  Optional Adam-style momentum on theta with a Fisher-norm
 (g . g_tilde) scale, mirroring the reference (reference: ssm_natgrad.py:177-210).
+
+Precision note: natural/expectation parameters of a dense-grid SSM are
+intrinsically ill-scaled — theta_diag carries ``Q^{-1} ~ dt^{-3}`` terms
+(e.g. ~1e7 at dt = 1e-3 for Matern-3/2), so float32's 1e-7 relative error
+wipes out the O(1) information and the reconstructed covariances go
+indefinite (NaN in the Cholesky).  Run natural-gradient training in float64
+(``jax.config.update("jax_enable_x64", True)``), as the TF reference
+implicitly does; for float32 dense-grid training use the CVI family, whose
+gain-form site updates never materialize precisions.
 """
 from __future__ import annotations
 
