@@ -85,7 +85,7 @@ def _mm_tl(a, b):
     """
     d1, d2 = a.shape[-3], a.shape[-2]
     d3 = b.shape[-2]
-    if max(d1, d2, d3) > 4:
+    if max(d1, d2, d3) > 6:
         return jnp.einsum("...ijn,...jkn->...ikn", a, b)
     rows = []
     for i in range(d1):
@@ -129,6 +129,24 @@ def _inv_tl(m):
             jnp.stack([c(1, 0, 2, 1), -c(0, 0, 2, 1), c(0, 0, 1, 1)], -2),
         ], -3)
         return adj / det[..., None, None, :]
+    if d <= 6:
+        # Schur-complement block reduction onto the d <= 3 closed forms —
+        # stays in TL layout (the LU fallback below relayouts every tiny
+        # block to time-middle) and works in f64 on TPU (no LuDecomposition).
+        k = d // 2
+        a_i = _inv_tl(m[..., :k, :k, :])
+        b = m[..., :k, k:, :]
+        c_ = m[..., k:, :k, :]
+        dd = m[..., k:, k:, :]
+        aib = _mm_tl(a_i, b)
+        s_i = _inv_tl(dd - _mm_tl(c_, aib))
+        cai = _mm_tl(c_, a_i)
+        tl_blk = a_i + _mm_tl(aib, _mm_tl(s_i, cai))
+        tr = -_mm_tl(aib, s_i)
+        bl = -_mm_tl(s_i, cai)
+        top = jnp.concatenate([tl_blk, tr], axis=-2)
+        bot = jnp.concatenate([bl, s_i], axis=-2)
+        return jnp.concatenate([top, bot], axis=-3)
     # fallback through the batched-LU path
     return _to_tl(jnp.linalg.inv(_from_tl(m)))
 
@@ -182,6 +200,13 @@ def _det_tl(m):
         return (m[..., 0, 0, :] * c(1, 1, 2, 2)
                 - m[..., 0, 1, :] * c(1, 0, 2, 2)
                 + m[..., 0, 2, :] * c(1, 0, 2, 1))
+    if d <= 6:
+        # det = det(A) det(D - C A^-1 B), same blocking as _inv_tl
+        k = d // 2
+        a = m[..., :k, :k, :]
+        s = m[..., k:, k:, :] - _mm_tl(
+            m[..., k:, :k, :], _mm_tl(_inv_tl(a), m[..., :k, k:, :]))
+        return _det_tl(a) * _det_tl(s)
     return jnp.moveaxis(jnp.linalg.det(_from_tl(m)), -1, -1)
 
 

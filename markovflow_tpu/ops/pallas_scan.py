@@ -46,13 +46,14 @@ def pick_scan_engine(F, engine: str) -> str:
     """Resolve an engine request against kernel eligibility.
 
     The Pallas kernels support arbitrary leading batch dims (a batch grid
-    axis), d <= 3, float32, TPU backends only; any ineligible request
-    silently resolves to the XLA scans so library code can default to
+    axis), d <= 6 (closed-form inverses up to 3, Schur-complement blocking
+    above), float32, TPU backends only; any ineligible request silently
+    resolves to the XLA scans so library code can default to
     ``engine="pallas"`` safely (e.g. the CPU/x64 test suite).
     """
     if engine != "pallas":
         return "xla"
-    if F.ndim < 3 or F.shape[-3] > 3 or F.dtype != jnp.float32:
+    if F.ndim < 3 or F.shape[-3] > 6 or F.dtype != jnp.float32:
         return "xla"
     if jax.default_backend() == "cpu":
         return "xla"
@@ -108,7 +109,22 @@ def _inv(m):
             jnp.stack([c(1, 0, 2, 1), -c(0, 0, 2, 1), c(0, 0, 1, 1)]),
         ])
         return adj / det[None, None]
-    raise NotImplementedError("pallas filter scan supports d <= 3")
+    if d <= 6:
+        # Schur-complement block reduction onto the d <= 3 closed forms:
+        # inv([[A, B], [C, D]]) with S = D - C A^-1 B.
+        k = d // 2
+        a_i = _inv(m[:k, :k])
+        b, c_, dd = m[:k, k:], m[k:, :k], m[k:, k:]
+        aib = _mm(a_i, b)
+        s_i = _inv(dd - _mm(c_, aib))
+        cai = _mm(c_, a_i)
+        tl_blk = a_i + _mm(aib, _mm(s_i, cai))
+        tr = -_mm(aib, s_i)
+        bl = -_mm(s_i, cai)
+        top = jnp.concatenate([tl_blk, tr], axis=1)
+        bot = jnp.concatenate([bl, s_i], axis=1)
+        return jnp.concatenate([top, bot], axis=0)
+    raise NotImplementedError("pallas filter scan supports d <= 6")
 
 
 def _combine(x, y):

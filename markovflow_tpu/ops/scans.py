@@ -33,7 +33,7 @@ def _mm(a, b):
     """
     d1, d2 = a.shape[-3], a.shape[-2]
     d3 = b.shape[-2]
-    if max(d1, d2, d3) > 4:
+    if max(d1, d2, d3) > 6:
         return jnp.einsum("...ijn,...jkn->...ikn", a, b)
     rows = []
     for i in range(d1):

@@ -50,7 +50,7 @@ def _check(args, mask=None, argnums=tuple(range(6)), atol=1e-7):
                         err_msg=f"grad mismatch for {name}")
 
 
-@pytest.mark.parametrize("d,o", [(1, 1), (2, 1), (2, 2), (3, 2)])
+@pytest.mark.parametrize("d,o", [(1, 1), (2, 1), (2, 2), (3, 2), (4, 1)])
 def test_koopman_grads_match_autodiff(rng, d, o):
     _check(_tl_inputs(rng, 61, d, o))
 

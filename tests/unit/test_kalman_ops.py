@@ -167,3 +167,26 @@ def test_batched_filter(rng, batch_shape):
     assert m_f.shape == batch_shape + (T + 1, d)
     assert p_f.shape == batch_shape + (T + 1, d, d)
     assert np.all(np.isfinite(np.asarray(m_f)))
+
+
+def test_inv_det_tl_schur_blocks(rng):
+    """d = 4..6 TL inverse/determinant (Schur-complement blocking) vs numpy."""
+    from markovflow_tpu.ops.kalman import _det_tl, _inv_tl
+
+    for d in [4, 5, 6]:
+        m = rng.standard_normal((d, d, 7))
+        m = m + np.swapaxes(m, 0, 1) + 2 * d * np.eye(d)[..., None]
+        minv = _inv_tl(jnp.asarray(m))
+        mdet = _det_tl(jnp.asarray(m))
+        for t in range(7):
+            assert_allclose(np.asarray(minv)[..., t],
+                            np.linalg.inv(m[..., t]), atol=1e-9)
+            assert_allclose(float(np.asarray(mdet)[t]),
+                            np.linalg.det(m[..., t]), rtol=1e-9)
+    # non-symmetric (the combine's I + CJ is not symmetric)
+    for d in [4, 6]:
+        m = rng.standard_normal((d, d, 5)) + 3 * np.eye(d)[..., None]
+        minv = _inv_tl(jnp.asarray(m))
+        for t in range(5):
+            assert_allclose(np.asarray(minv)[..., t],
+                            np.linalg.inv(m[..., t]), atol=1e-8)

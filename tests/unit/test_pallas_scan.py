@@ -96,3 +96,26 @@ def test_pallas_scan_batched(rng):
             tuple(to_tl(x) for x in row), chunk=64, interpret=True)
         assert_allclose(np.asarray(m_b[i]), np.asarray(m_i), atol=1e-12)
         assert_allclose(np.asarray(p_b[i]), np.asarray(p_i), atol=1e-12)
+
+
+def test_pallas_scan_d4(rng):
+    """d = 4 path (Schur-complement in-kernel inverse) vs the XLA engine."""
+    d, o, t_len = 4, 1, 90
+    mu0, l0, A, b, lq = npk.random_ssm(rng, t_len, d)
+    H = rng.standard_normal((o, d))
+    R = np.eye(o) * 0.3
+    ys = rng.standard_normal((t_len + 1, o))
+    ssm = StateSpaceModel(*[jnp.asarray(v) for v in (mu0, l0, A, b, lq)])
+    F, c, Q = K.prior_step_arrays(ssm)
+    lam = jnp.broadcast_to(jnp.asarray(np.linalg.inv(R)), (t_len + 1, o, o))
+    nu = jnp.asarray(ys @ np.linalg.inv(R).T)
+    Hs = jnp.broadcast_to(jnp.asarray(H), (t_len + 1, o, d))
+    elems = K.make_filter_elements(F, c, Q, Hs, nu, lam)
+    m_ref, p_ref = K.parallel_filter(elems)
+    to_tl = lambda x: jnp.moveaxis(x, -3, -1)
+    elems_tl = tuple(to_tl(x) for x in elems)
+    m_tl, p_tl = pallas_filter_scan(elems_tl, chunk=64, interpret=True)
+    m_got = jnp.moveaxis(m_tl[..., 0, :], -1, -2)
+    p_got = jnp.moveaxis(p_tl, -1, -3)
+    assert_allclose(np.asarray(m_got), np.asarray(m_ref), atol=1e-8)
+    assert_allclose(np.asarray(p_got), np.asarray(p_ref), atol=1e-8)
