@@ -161,6 +161,11 @@ def _make(engine: str):
 
     def bwd(res, g):
         F, c, Q, H, nu, lam, maskf, m_f, p_f = res
+        # Note: a fully fused backward kernel exists
+        # (pallas_scan.pallas_adjoint_pipeline) but measured ~1 ms SLOWER
+        # than this split form (XLA tile-parallel elementwise + pallas
+        # reverse scan) at T = 1e6 — the in-kernel per-sublane gradient
+        # assembly under-utilizes the VPU.  Kept for future tuning.
         grads = _adjoint_grads(F, c, Q, H, nu, lam, maskf, m_f, p_f,
                                engine=pick_scan_engine(F, engine))
         gg = g[..., None, None, None]

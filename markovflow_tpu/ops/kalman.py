@@ -255,14 +255,18 @@ def filter_pipeline_tl(F, c, Q, H, nu, lam, mask=None, engine: str = "xla"):
     # forward-only TPU compile for >15 min (see ops.scans.scan_tl).
     F, c, Q, H, nu, lam = jax.lax.optimization_barrier(
         (F, c, Q, H, nu, lam))
-    elems = make_filter_elements_tl(F, c, Q, H, nu, lam)
     if engine == "pallas":
-        from .pallas_scan import pallas_filter_scan
+        # fused kernel: element construction + scan + likelihood in one
+        # pallas call — no element/predicted-moment arrays in HBM.
+        from .pallas_scan import pallas_filter_pipeline
 
-        m_f, p_f = pallas_filter_scan(elems)
-    else:
-        res = scan_tl(_combine_filter_tl, _filter_identity_like, elems)
-        m_f, p_f = res[1], res[2]
+        maskf = None if mask is None else jnp.broadcast_to(
+            mask, F.shape[:-3] + (F.shape[-1],)
+        ).astype(F.dtype)[..., None, None, :]
+        return pallas_filter_pipeline(F, c, Q, H, nu, lam, maskf)
+    elems = make_filter_elements_tl(F, c, Q, H, nu, lam)
+    res = scan_tl(_combine_filter_tl, _filter_identity_like, elems)
+    m_f, p_f = res[1], res[2]
     # predicted moments: index 0 is the prior (c_0, Q_0)
     fm = _mm_tl(F[..., 1:], m_f[..., :-1]) + c[..., 1:]
     fp = _mm_tl(F[..., 1:], _mm_tl(p_f[..., :-1], _t_tl(F[..., 1:]))) + \

@@ -119,3 +119,83 @@ def test_pallas_scan_d4(rng):
     p_got = jnp.moveaxis(p_tl, -1, -3)
     assert_allclose(np.asarray(m_got), np.asarray(m_ref), atol=1e-8)
     assert_allclose(np.asarray(p_got), np.asarray(p_ref), atol=1e-8)
+
+
+def _pipeline_inputs(rng, t_len, d, o=1):
+    mu0, l0, A, b, lq = npk.random_ssm(rng, t_len, d)
+    H = rng.standard_normal((o, d))
+    R = np.eye(o) * 0.3 + 0.05 * np.ones((o, o))
+    ys = rng.standard_normal((t_len + 1, o))
+    ssm = StateSpaceModel(*[jnp.asarray(v) for v in (mu0, l0, A, b, lq)])
+    F, c, Q = K.prior_step_arrays(ssm)
+    r_inv = np.linalg.inv(R)
+    lam = jnp.broadcast_to(jnp.asarray(r_inv), (t_len + 1, o, o))
+    nu = jnp.asarray(ys @ r_inv.T)
+    Hs = jnp.broadcast_to(jnp.asarray(H), (t_len + 1, o, d))
+    to_tl = lambda x: jnp.moveaxis(x, -3, -1)
+    return (to_tl(F), to_tl(c[..., None]), to_tl(Q), to_tl(Hs),
+            to_tl(nu[..., None]), to_tl(lam))
+
+
+@pytest.mark.parametrize("d,o,t_len", [(2, 1, 70), (3, 2, 50), (1, 1, 130)])
+def test_fused_pipeline_matches_xla(rng, d, o, t_len):
+    from markovflow_tpu.ops.pallas_scan import pallas_filter_pipeline
+
+    args = _pipeline_inputs(rng, t_len, d, o)
+    m_ref, p_ref, ll_ref = K.filter_pipeline_tl(*args)
+    m, p, ll = pallas_filter_pipeline(*args, chunk=64, interpret=True)
+    assert_allclose(np.asarray(m), np.asarray(m_ref), atol=1e-9)
+    assert_allclose(np.asarray(p), np.asarray(p_ref), atol=1e-9)
+    assert_allclose(float(ll), float(ll_ref), rtol=1e-11)
+
+
+def test_fused_pipeline_masked_and_batched(rng):
+    from markovflow_tpu.ops.pallas_scan import pallas_filter_pipeline
+
+    rows = [_pipeline_inputs(rng, 80, 2, 1) for _ in range(2)]
+    args = tuple(jnp.stack([r[i] for r in rows]) for i in range(6))
+    n = args[0].shape[-1]
+    mask_np = np.zeros(n, bool)
+    mask_np[np.sort(rng.choice(n, 30, replace=False))] = True
+    keep = jnp.asarray(mask_np)[None, None, None, :]
+    F, c, Q, H, nu, lam = args
+    nu = jnp.where(keep, nu, 0.0)
+    lam = jnp.where(keep, lam, 0.0)
+    mask = jnp.asarray(mask_np)
+    m_ref, p_ref, ll_ref = K.filter_pipeline_tl(F, c, Q, H, nu, lam,
+                                                mask=mask)
+    maskf = jnp.broadcast_to(mask, (2, n)).astype(F.dtype)[:, None, None, :]
+    m, p, ll = pallas_filter_pipeline(F, c, Q, H, nu, lam, maskf,
+                                      chunk=64, interpret=True)
+    assert_allclose(np.asarray(m), np.asarray(m_ref), atol=1e-9)
+    assert_allclose(np.asarray(p), np.asarray(p_ref), atol=1e-9)
+    assert_allclose(np.asarray(ll), np.asarray(ll_ref), rtol=1e-11)
+
+
+def test_fused_adjoint_matches_xla(rng):
+    """Fused backward kernel vs the XLA adjoint stages (interpret mode)."""
+    from markovflow_tpu.ops.adjoint import _adjoint_grads
+    from markovflow_tpu.ops.pallas_scan import pallas_adjoint_pipeline
+
+    for d, o, t_len, batch in [(2, 1, 70, ()), (3, 2, 50, ()),
+                               (2, 1, 40, (2,))]:
+        rows = [_pipeline_inputs(rng, t_len, d, o)
+                for _ in range(max(1, int(np.prod(batch, dtype=int))))]
+        if batch:
+            args = tuple(jnp.stack([r[i] for r in rows]).reshape(
+                batch + rows[0][i].shape) for i in range(6))
+        else:
+            args = rows[0]
+        F = args[0]
+        n = F.shape[-1]
+        maskf = jnp.ones(F.shape[:-3] + (n,), F.dtype)
+        m_f, p_f, _ = K.filter_pipeline_tl(*args)
+        ref = _adjoint_grads(*args, maskf, m_f, p_f, engine="xla")
+        g = jnp.full(F.shape[:-3], 1.7, F.dtype)
+        got = pallas_adjoint_pipeline(
+            *args, maskf[..., None, None, :], m_f, p_f, g,
+            chunk=64, interpret=True)
+        for a, b, nm in zip(ref, got, ["F", "c", "Q", "H", "nu", "lam"]):
+            assert_allclose(np.asarray(b), 1.7 * np.asarray(a), atol=1e-8,
+                            err_msg=f"fused adjoint mismatch {nm} "
+                                    f"(d={d}, o={o}, batch={batch})")
