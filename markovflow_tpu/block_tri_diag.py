@@ -23,7 +23,8 @@ import jax.numpy as jnp
 
 from .utils.linalg import symmetrize, tlt
 
-__all__ = ["SymmetricBlockTriDiagonal", "LowerTriangularBlockTriDiagonal"]
+__all__ = ["SymmetricBlockTriDiagonal", "LowerTriangularBlockTriDiagonal",
+           "banded_to_block_tri"]
 
 
 def _move_time_front(x, batch_ndim):
@@ -90,6 +91,22 @@ class _BlockTriDiagonal:
                 up = jnp.einsum("...nji,...nj->...ni", self.lower, vec[..., 1:, :])
                 out = out.at[..., :-1, :].add(up)
         return out
+
+    def as_band(self) -> jnp.ndarray:
+        """Lower-banded storage [..., 2d, N*d]: row ``r`` holds the ``r``-th
+        subdiagonal, padded with zeros on the right (LAPACK-style; the
+        layout the reference's C++ ops use — reference:
+        block_tri_diag.py:91, ``block_to_band``)."""
+        n, d = self.num_blocks, self.block_dim
+        dense = self.to_dense()
+        dim = n * d
+        rows = []
+        for r in range(2 * d):
+            diag_r = jnp.diagonal(dense, offset=-r, axis1=-2, axis2=-1)
+            pad = jnp.zeros(diag_r.shape[:-1] + (dim - diag_r.shape[-1],),
+                            diag_r.dtype)
+            rows.append(jnp.concatenate([diag_r, pad], axis=-1))
+        return jnp.stack(rows, axis=-2)
 
     def dense_mult(self, right: jnp.ndarray) -> jnp.ndarray:
         """Multiply by a dense matrix [..., N*d, m] -> [..., N*d, m]
@@ -297,3 +314,32 @@ class SymmetricBlockTriDiagonal(_BlockTriDiagonal):
             jnp.moveaxis(u_offs, 0, batch_ndim),
             jnp.moveaxis(d_chol, 0, batch_ndim),
         )
+
+
+def banded_to_block_tri(band: jnp.ndarray, num_blocks: int, block_dim: int,
+                        symmetric: bool = True):
+    """Lower-banded storage [..., 2d, N*d] -> block-tridiagonal object
+    (reference: block_tri_diag.py:549, ``_banded_to_block_tri`` /
+    ``band_to_block``).  Entries outside the block-tridiagonal pattern are
+    ignored; for ``symmetric=True`` the band holds the lower triangle and
+    the diagonal blocks are mirrored."""
+    n, d = num_blocks, block_dim
+    dim = n * d
+    batch = band.shape[:-2]
+    dense = jnp.zeros(batch + (dim, dim), band.dtype)
+    ii = jnp.arange(dim)
+    for r in range(2 * d):
+        vals = band[..., r, : dim - r]
+        dense = dense.at[..., ii[r:], ii[: dim - r]].set(vals)
+    diag = jnp.stack(
+        [dense[..., k * d:(k + 1) * d, k * d:(k + 1) * d]
+         for k in range(n)], axis=-3)
+    lower = None
+    if n > 1:
+        lower = jnp.stack(
+            [dense[..., (k + 1) * d:(k + 2) * d, k * d:(k + 1) * d]
+             for k in range(n - 1)], axis=-3)
+    if symmetric:
+        diag = jnp.tril(diag) + tlt(jnp.tril(diag, k=-1))
+        return SymmetricBlockTriDiagonal(diag, lower)
+    return LowerTriangularBlockTriDiagonal(diag, lower)

@@ -25,9 +25,13 @@ Hillis-Steele kernel (~3.3 vs 11 at C = 8192) and the bracketing is mostly
 sequential, so float32 roundoff at T ~ 1e6 matches the XLA chunked
 Blelloch scan (measured; v1's pure Hillis-Steele drifted above it).
 
-Forward (inference/serving) path only; training uses the autodiff-friendly
-XLA scan in :mod:`markovflow_tpu.ops.scans` or the Fisher-identity custom
-VJP in :mod:`markovflow_tpu.ops.fisher`.
+The kernels define no JAX derivatives themselves; training reaches them
+through the analytic custom VJPs (:mod:`markovflow_tpu.ops.adjoint` — the
+default grad engine — and :mod:`markovflow_tpu.ops.fisher`), whose forward
+runs :func:`pallas_filter_pipeline` (elements + scan + likelihood fused in
+one kernel) and whose backward runs the reverse suffix scan kernel.
+Autodiff-through-the-scan paths use the XLA scans in
+:mod:`markovflow_tpu.ops.scans` instead.
 """
 from __future__ import annotations
 

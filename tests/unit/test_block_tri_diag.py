@@ -128,3 +128,30 @@ def test_dense_mult_matches_dense(rng):
     got = mat.dense_mult(right)
     want = np.asarray(mat.to_dense()) @ np.asarray(right)
     assert_allclose(np.asarray(got), want, atol=1e-10)
+
+
+def test_band_layout_round_trip(rng):
+    """as_band / banded_to_block_tri (reference block_to_band/band_to_block
+    parity): round trip preserves the matrix."""
+    from markovflow_tpu.block_tri_diag import (
+        LowerTriangularBlockTriDiagonal,
+        SymmetricBlockTriDiagonal,
+        banded_to_block_tri,
+    )
+
+    n, d = 4, 2
+    diag_raw = rng.standard_normal((n, d, d))
+    diag = diag_raw @ np.swapaxes(diag_raw, -1, -2) + 3 * np.eye(d)
+    lower = rng.standard_normal((n - 1, d, d))
+    sym = SymmetricBlockTriDiagonal(jnp.asarray(diag), jnp.asarray(lower))
+    band = sym.as_band()
+    assert band.shape == (2 * d, n * d)
+    back = banded_to_block_tri(band, n, d, symmetric=True)
+    assert_allclose(np.asarray(back.to_dense()), np.asarray(sym.to_dense()),
+                    atol=1e-12)
+
+    chol = sym.cholesky()
+    band_l = chol.as_band()
+    back_l = banded_to_block_tri(band_l, n, d, symmetric=False)
+    assert_allclose(np.asarray(back_l.to_dense()),
+                    np.asarray(chol.to_dense()), atol=1e-12)
