@@ -99,8 +99,8 @@ def conditional_statistics(new_time_points, existing_time_points, kernel):
     dt2_safe = jnp.where(exact, 1.0, dt2)
     a1, q1 = kernel.transition_statistics(t_minus, dt1)
     a2, q2 = kernel.transition_statistics(new_time_points, dt2_safe)
-    b1 = kernel.state_offsets(a1, dt1)
-    b2 = kernel.state_offsets(a2, dt2_safe)
+    b1 = kernel.state_offsets(a1, dt1, transition_times=t_minus)
+    b2 = kernel.state_offsets(a2, dt2_safe, transition_times=new_time_points)
     p_proj, offset, t_cov = _conditional_statistics_from_transitions(
         a1, q1, b1, a2, q2, b2)
     d = a1.shape[-1]
@@ -165,6 +165,6 @@ def cyclic_reduction_conditional_statistics(time_points, kernel):
     dt2 = jnp.clip(right - odd, 0.0, APPROX_INF)
     a1, q1 = kernel.transition_statistics(left, dt1)
     a2, q2 = kernel.transition_statistics(odd, dt2)
-    b1 = kernel.state_offsets(a1, dt1)
-    b2 = kernel.state_offsets(a2, dt2)
+    b1 = kernel.state_offsets(a1, dt1, transition_times=left)
+    b2 = kernel.state_offsets(a2, dt2, transition_times=odd)
     return _conditional_statistics_from_transitions(a1, q1, b1, a2, q2, b2)

@@ -175,7 +175,7 @@ class BaseKalmanFilter(Module, abc.ABC):
         from .ops.pallas_scan import pick_scan_engine
 
         F, c, Q, h, nu, lam, mask = self._tl_inputs()
-        engine = pick_scan_engine(F, engine)
+        engine = pick_scan_engine(F, engine, lam)
         m_f, p_f, _ = K.filter_pipeline_tl(F, c, Q, h, nu, lam, mask,
                                            engine=engine)
         m_s, p_s, _ = K.smoother_pipeline_tl(F, c, Q, m_f, p_f,

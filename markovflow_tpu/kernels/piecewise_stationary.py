@@ -74,7 +74,20 @@ class PiecewiseKernel(NonStationaryKernel):
             [k.steady_state_covariance for k in self.kernels], axis=0)
         return stacked[idx]
 
-    def state_offsets(self, state_transitions, time_deltas):
-        d = self.state_dim
-        return jnp.zeros(state_transitions.shape[:-2] + (d,),
-                         state_transitions.dtype)
+    def state_offsets(self, state_transitions, time_deltas,
+                      transition_times=None):
+        """Per-segment offsets b_k = (I - A_k) m_seg with the child state
+        mean of the segment containing the transition's left endpoint
+        (reference: piecewise_stationary.py:248-271 concats each child's
+        ``state_offsets`` over its partition; transitions never cross change
+        points, so the left endpoint determines the segment).
+        """
+        if transition_times is None:
+            raise ValueError(
+                "PiecewiseKernel.state_offsets requires transition_times "
+                "(the left endpoint of each transition) to select segments.")
+        idx = self._segment_index(transition_times)          # [..., N]
+        means = jnp.stack([k.state_mean for k in self.kernels], axis=0)
+        m = means[idx]                                       # [..., N, d]
+        am = jnp.einsum("...nij,...nj->...ni", state_transitions, m)
+        return m - am

@@ -88,8 +88,13 @@ class SDEKernel(Kernel, abc.ABC):
     def initial_covariance(self, initial_time_point) -> jnp.ndarray:
         """P0 at the first time point [..., d, d]."""
 
-    def state_offsets(self, state_transitions, time_deltas) -> jnp.ndarray:
-        """b_k, default zero (reference: sde_kernel.py:284-302)."""
+    def state_offsets(self, state_transitions, time_deltas,
+                      transition_times=None) -> jnp.ndarray:
+        """b_k, default zero (reference: sde_kernel.py:284-302).
+
+        ``transition_times`` (the left endpoint of each transition) is only
+        consulted by non-stationary kernels whose offsets vary with absolute
+        time (e.g. :class:`PiecewiseKernel` segment means)."""
         d = self.state_dim
         shape = state_transitions.shape[:-2] + (d,)
         return jnp.zeros(shape, state_transitions.dtype)
@@ -104,7 +109,8 @@ class SDEKernel(Kernel, abc.ABC):
         (reference: sde_kernel.py:122-171)."""
         a_s, q_s = self.transition_statistics_from_time_points(time_points)
         deltas = to_delta_time(time_points)
-        b_s = self.state_offsets(a_s, deltas)
+        b_s = self.state_offsets(a_s, deltas,
+                                 transition_times=time_points[..., :-1])
         batch_shape = time_points.shape[:-1]
         mu0 = self.initial_mean(batch_shape)
         p0 = self.initial_covariance(time_points[..., :1])
@@ -185,7 +191,8 @@ class StationaryKernel(SDEKernel, abc.ABC):
         shape = initial_time_point.shape[:-1] + (self.state_dim, self.state_dim)
         return jnp.broadcast_to(p0, shape)
 
-    def state_offsets(self, state_transitions, time_deltas):
+    def state_offsets(self, state_transitions, time_deltas,
+                      transition_times=None):
         """b_k = (I - A_k) m so the stationary mean is preserved
         (reference: sde_kernel.py:460-475)."""
         m = self.state_mean
@@ -490,7 +497,8 @@ class StackKernel(StationaryKernel):
         shape = initial_time_point.shape[:-1] + (self.state_dim, self.state_dim)
         return jnp.broadcast_to(p, shape) + self.jitter_matrix()
 
-    def state_offsets(self, state_transitions, time_deltas):
+    def state_offsets(self, state_transitions, time_deltas,
+                      transition_times=None):
         m = self.state_mean  # [K, d]
         eye = jnp.eye(self.state_dim, dtype=state_transitions.dtype)
         return jnp.einsum("...knij,kj->...kni", eye - state_transitions, m)

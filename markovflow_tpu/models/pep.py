@@ -118,7 +118,7 @@ class PowerExpectationPropagation(GaussianProcessWithSitesBase):
         """Marginal likelihood of the site-augmented model
         (reference: pep.py:217-221)."""
         return self.posterior_kalman.log_likelihood(
-            grad_engine=getattr(self, "grad_engine", "autodiff"))
+            grad_engine=self.grad_engine)
 
     def energy(self) -> jnp.ndarray:
         """PEP energy (reference: pep.py:223-230)."""

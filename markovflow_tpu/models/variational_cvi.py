@@ -127,7 +127,7 @@ class GaussianProcessWithSitesBase(MarkovFlowModel):
 
     def log_likelihood(self) -> jnp.ndarray:
         return self.posterior_kalman.log_likelihood(
-            grad_engine=getattr(self, "grad_engine", "autodiff"))
+            grad_engine=self.grad_engine)
 
     @property
     def posterior(self) -> AnalyticPosteriorProcess:

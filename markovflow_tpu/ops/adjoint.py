@@ -149,14 +149,14 @@ def _make(engine: str):
         mask = maskf > 0.5
         _, _, out = filter_pipeline_tl(
             F, c, Q, H, nu, lam, mask,
-            engine=pick_scan_engine(F, engine))
+            engine=pick_scan_engine(F, engine, lam))
         return out
 
     def fwd(F, c, Q, H, nu, lam, maskf):
         mask = maskf > 0.5
         m_f, p_f, out = filter_pipeline_tl(
             F, c, Q, H, nu, lam, mask,
-            engine=pick_scan_engine(F, engine))
+            engine=pick_scan_engine(F, engine, lam))
         return out, (F, c, Q, H, nu, lam, maskf, m_f, p_f)
 
     def bwd(res, g):
@@ -167,7 +167,7 @@ def _make(engine: str):
         # reverse scan) at T = 1e6 — the in-kernel per-sublane gradient
         # assembly under-utilizes the VPU.  Kept for future tuning.
         grads = _adjoint_grads(F, c, Q, H, nu, lam, maskf, m_f, p_f,
-                               engine=pick_scan_engine(F, engine))
+                               engine=pick_scan_engine(F, engine, lam))
         gg = g[..., None, None, None]
         return tuple(gg * x for x in grads) + (jnp.zeros_like(maskf),)
 
@@ -190,10 +190,11 @@ def log_likelihood_koopman(F, c, Q, H, nu, lam, mask=None,
     site) steps.
 
     ``engine="pallas"`` (default) runs both the forward filter scan and the
-    backward adjoint scan as fused TPU kernels when eligible (unbatched,
-    d <= 3, f32) — the adjoint recursion has exactly the RTS smoother's
-    (E, g, ell) suffix composition, so it reuses that kernel.  Ineligible
-    shapes fall back to the XLA scans.
+    backward adjoint scan as fused TPU kernels when eligible (arbitrary
+    batch dims, d <= 6 and o <= 6, f32, TPU backend — see
+    ``pick_scan_engine``) — the adjoint recursion has exactly the RTS
+    smoother's (E, g, ell) suffix composition, so it reuses that kernel.
+    Ineligible shapes fall back to the XLA scans.
     """
     n = F.shape[-1]
     if mask is None:

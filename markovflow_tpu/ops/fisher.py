@@ -108,20 +108,20 @@ def _make(engine: str):
         mask = maskf > 0.5
         _, _, out = filter_pipeline_tl(
             F, c, Q, H, nu, lam, mask,
-            engine=pick_scan_engine(F, engine))
+            engine=pick_scan_engine(F, engine, lam))
         return out
 
     def fwd(F, c, Q, H, nu, lam, maskf):
         mask = maskf > 0.5
         m_f, p_f, out = filter_pipeline_tl(
             F, c, Q, H, nu, lam, mask,
-            engine=pick_scan_engine(F, engine))
+            engine=pick_scan_engine(F, engine, lam))
         return out, (F, c, Q, H, nu, lam, maskf, m_f, p_f)
 
     def bwd(res, g):
         F, c, Q, H, nu, lam, maskf, m_f, p_f = res
         m_s, p_s, gains = smoother_pipeline_tl(
-            F, c, Q, m_f, p_f, engine=pick_scan_engine(F, engine))
+            F, c, Q, m_f, p_f, engine=pick_scan_engine(F, engine, lam))
         grads = _fisher_grads(F, c, Q, H, nu, lam, maskf, m_s, p_s, gains)
         gg = g[..., None, None, None]
         return tuple(gg * x for x in grads) + (jnp.zeros_like(maskf),)

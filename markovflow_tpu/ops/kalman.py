@@ -301,8 +301,10 @@ def smoother_pipeline_tl(F, c, Q, m_f, p_f, engine: str = "xla"):
     """TL smoother: returns (m_s [..., d, 1, N], P_s [..., d, d, N],
     gains [..., d, d, N-1]).
 
-    ``engine="pallas"`` uses the hand-written TPU kernel (forward-only,
-    unbatched, d <= 3; ~2x faster than the XLA scan) — for serving paths.
+    ``engine="pallas"`` uses the hand-written TPU kernel (no autodiff
+    through the kernel itself; batched, d <= 6, f32, TPU backend — see
+    ``pallas_scan.pick_scan_engine``) — for serving paths.  Training
+    reaches the same kernel through the analytic custom VJPs.
     """
     fn, cn, qn = F[..., 1:], c[..., 1:], Q[..., 1:]
     mk, pk = m_f[..., :-1], p_f[..., :-1]

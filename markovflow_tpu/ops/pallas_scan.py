@@ -47,20 +47,26 @@ __all__ = ["pallas_filter_scan", "pallas_filter_pipeline",
            "PALLAS_CHUNK", "PALLAS_BLOCK"]
 
 
-def pick_scan_engine(F, engine: str) -> str:
+def pick_scan_engine(F, engine: str, lam=None) -> str:
     """Resolve an engine request against kernel eligibility.
 
     The Pallas kernels support arbitrary leading batch dims (a batch grid
     axis), d <= 6 (closed-form inverses up to 3, Schur-complement blocking
-    above), float32, TPU backends only; any ineligible request silently
+    above), float32, the TPU backend only; any ineligible request silently
     resolves to the XLA scans so library code can default to
-    ``engine="pallas"`` safely (e.g. the CPU/x64 test suite).
+    ``engine="pallas"`` safely (e.g. the CPU/x64 test suite, GPU backends).
+
+    ``lam`` (site precisions, [..., o, o, N]) is checked when given: the
+    in-kernel innovation inverse also requires o <= 6 / float32.
     """
     if engine != "pallas":
         return "xla"
     if F.ndim < 3 or F.shape[-3] > 6 or F.dtype != jnp.float32:
         return "xla"
-    if jax.default_backend() == "cpu":
+    if lam is not None and (lam.ndim < 3 or lam.shape[-3] > 6
+                            or lam.dtype != jnp.float32):
+        return "xla"
+    if jax.default_backend() != "tpu":
         return "xla"
     return "pallas"
 

@@ -137,6 +137,15 @@ def _smoother_body(F, c, Q, m_f, p_f, axis_name):
     fn = _shift_from_next(F, axis_name)
     cn = _shift_from_next(c, axis_name)
     qn = _shift_from_next(Q, axis_name)
+    # On the last shard the shifted boundary entries are zero-filled, making
+    # p_pred singular there; the forward pass discards those lanes via
+    # jnp.where below, but inf/NaN from _inv_tl would still poison reverse-
+    # mode cotangents (NaN * 0).  Pad the boundary qn with identity so
+    # p_pred stays invertible on the discarded lanes.
+    num0 = jax.lax.psum(1, axis_name)
+    on_last = jax.lax.axis_index(axis_name) == num0 - 1
+    at_end = jnp.arange(F.shape[-1]) == F.shape[-1] - 1
+    qn = jnp.where(on_last & at_end, qn + K._eye_tl(F.shape[-3], F.dtype), qn)
     p_pred = K._sym_tl(K._mm_tl(fn, K._mm_tl(p_f, K._t_tl(fn))) + qn)
     pft = K._mm_tl(p_f, K._t_tl(fn))
     gains = K._t_tl(K._mm_tl(K._inv_tl(p_pred), K._t_tl(pft)))

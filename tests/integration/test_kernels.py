@@ -219,3 +219,47 @@ def test_state_mean_offsets():
     ssm = kernel.state_space_model(jnp.asarray(TS))
     means = np.asarray(ssm.marginal_means)
     assert_allclose(means[:, 0], 2.0, atol=1e-9)
+
+
+def test_piecewise_kernel_nonzero_state_means():
+    """Per-segment state offsets b_k = (I - A_k) m_seg with nonzero child
+    means (reference: piecewise_stationary.py:248-288) — the marginal means
+    must follow the NumPy mean recursion, and off-grid conditional
+    prediction must agree with the SSM built on the refined grid."""
+    from markovflow_tpu.conditionals import conditional_predict
+
+    m1, m2 = 1.5, -0.7
+    k1 = Matern32(lengthscale=0.5, variance=1.0).set_state_mean(
+        jnp.asarray([m1, 0.0]))
+    k2 = Matern32(lengthscale=2.0, variance=2.0).set_state_mean(
+        jnp.asarray([m2, 0.0]))
+    kernel = PiecewiseKernel([k1, k2], change_points=jnp.asarray([1.0]))
+    ts = np.array([0.0, 0.4, 1.0, 1.6, 2.4])
+    ssm = kernel.state_space_model(jnp.asarray(ts))
+
+    # oracle: forward mean recursion with per-segment child transitions/means
+    A = np.asarray(ssm.state_transitions)
+    mean = np.array([m1, 0.0])
+    means = [mean]
+    seg_means = {0: np.array([m1, 0.0]), 1: np.array([m1, 0.0]),
+                 2: np.array([m2, 0.0]), 3: np.array([m2, 0.0])}
+    for k in range(4):
+        m_seg = seg_means[k]
+        mean = A[k] @ mean + (m_seg - A[k] @ m_seg)
+        means.append(mean)
+    assert_allclose(np.asarray(ssm.marginal_means), np.stack(means),
+                    atol=1e-9)
+    # the last mean has NOT converged back to m2 yet — the offsets matter
+    assert abs(means[-1][0] - m2) > 1e-3
+
+    # off-grid conditional prediction == marginals of the union-grid SSM
+    t_new = np.array([0.2, 0.7, 1.3, 2.0])
+    pred_means, pred_covs = conditional_predict(
+        jnp.asarray(t_new), jnp.asarray(ts), kernel, ssm)
+    union = np.sort(np.concatenate([ts, t_new]))
+    ssm_u = kernel.state_space_model(jnp.asarray(union))
+    idx = np.searchsorted(union, t_new)
+    assert_allclose(np.asarray(pred_means),
+                    np.asarray(ssm_u.marginal_means)[idx], atol=1e-7)
+    assert_allclose(np.asarray(pred_covs),
+                    np.asarray(ssm_u.marginal_covariances)[idx], atol=1e-7)
