@@ -129,6 +129,139 @@ def main():
     ms = _slope(marg_step, (gpr,))
     _emit(f"posterior_marginals_T{t_len}_pallas", ms)
 
+    # 6. BASELINE config 5: DoubleWell SDE VI iteration (f32)
+    ms = bench_sde_vi(quick)
+    _emit(f"sde_doublewell_vi_iteration_n{2048 if quick else 16384}", ms)
+
+    # 7-8. BASELINE configs 2-3 need float64 (natural-parameter training on
+    # dense grids carries Q^{-1} ~ dt^{-3}; see ssm_natgrad.py) — switch the
+    # process to x64 for the remainder.
+    jax.config.update("jax_enable_x64", True)
+    n2 = 10_000 if quick else 100_000
+    ms = bench_vgp_natgrad(n2)
+    _emit(f"vgp_bernoulli_natgrad_step_T{n2}_f64", ms)
+
+    m3 = 512 if quick else 2048
+    n3 = 10_000 if quick else 100_000
+    ms = bench_svgp_natgrad(n3, m3)
+    _emit(f"svgp_natgrad_step_N{n3}_M{m3}_f64", ms)
+
+
+def bench_sde_vi(quick: bool):
+    """BASELINE config 5: one VI iteration for a DoubleWell SDE-GP —
+    linearize the SDE around the current Gaussian path, Kalman-smooth the
+    observations against the linearized prior, and evaluate the
+    drift-difference KL surrogate (pattern: tests/unit/test_sde.py::
+    test_double_well_vi_workflow)."""
+    import jax
+    import jax.numpy as jnp
+
+    from markovflow_tpu.emission_model import EmissionModel
+    from markovflow_tpu.kalman_filter import KalmanFilter
+    from markovflow_tpu.sde import (DoubleWellSDE, Gaussian as GaussianPath,
+                                    LinearDrift, euler_maruyama,
+                                    linearize_sde,
+                                    squared_drift_difference_along_Gaussian_path)
+
+    n = 2048 if quick else 16384
+    sde = DoubleWellSDE(q=0.5)
+    ts = jnp.asarray(np.linspace(0.0, 8.0, n + 1), jnp.float32)
+    key = jax.random.PRNGKey(7)
+    truth = euler_maruyama(sde, jnp.asarray([[1.0]], jnp.float32), ts, key)[0]
+    obs = truth + 0.2 * jax.random.normal(jax.random.fold_in(key, 1),
+                                          truth.shape)
+    q_mu = jnp.zeros((1, n, 1), jnp.float32)
+    q_cov = jnp.ones((1, n, 1, 1), jnp.float32)
+    init = GaussianPath(jnp.asarray([[1.0]], jnp.float32),
+                        jnp.eye(1, dtype=jnp.float32)[None] * 0.25)
+    dt = float(ts[1] - ts[0])
+
+    def vi_step(acc, obs_, q_mu_, q_cov_):
+        obs2 = obs_ * (1 + acc * 1e-30)
+        q_path = GaussianPath(q_mu_, q_cov_)
+        prior_ssm = linearize_sde(sde, ts, q_path, init)
+        h = jnp.ones((1, n + 1, 1, 1), jnp.float32)
+        kf = KalmanFilter(prior_ssm, EmissionModel(h), obs2[None],
+                          jnp.asarray([[0.2]], jnp.float32))
+        post = kf.posterior_state_space_model()
+        means, covs = post.marginals
+        drift = LinearDrift.from_ssm(post, dt)
+        kl = squared_drift_difference_along_Gaussian_path(
+            sde, LinearDrift(A=drift.A[0, :, :, 0], b=drift.b[0]),
+            GaussianPath(means[0, 1:], covs[0, 1:]), dt)
+        out = kl + jnp.sum(means) * 1e-6 + jnp.sum(covs) * 1e-6
+        return out.astype(jnp.float32) * 1e-6
+
+    return _slope(vi_step, (obs, q_mu, q_cov))
+
+
+def bench_vgp_natgrad(n: int):
+    """BASELINE config 2: VGP + Bernoulli classification, one natural-
+    gradient step on the full-rank SSM posterior (float64)."""
+    import jax
+    import jax.numpy as jnp
+
+    from markovflow_tpu.kernels import Matern32
+    from markovflow_tpu.likelihoods import Bernoulli
+    from markovflow_tpu.models.variational import VariationalGaussianProcess
+    from markovflow_tpu.ssm_natgrad import SSMNaturalGradient
+
+    rng = np.random.default_rng(1)
+    x = np.linspace(0.0, n / 1000.0, n)
+    y = (np.sin(2.0 * x) + 0.3 * rng.standard_normal(n) > 0).astype(
+        np.float64)[:, None]
+    xj, yj = jnp.asarray(x, jnp.float64), jnp.asarray(y, jnp.float64)
+    vgp = VariationalGaussianProcess((xj, yj), Matern32(lengthscale=0.5,
+                                                        variance=1.0),
+                                     Bernoulli())
+    opt = SSMNaturalGradient(gamma=0.5, naturals_engine="parallel")
+    ssm0 = vgp.dist_q.non_trainable_copy()
+
+    def ng_step(acc, ssm):
+        ssm2 = ssm.replace(_mu0=ssm.initial_mean * (1 + acc * 1e-30))
+        new_ssm, _, loss = opt.step(
+            lambda s: vgp.with_dist_q(s).loss(), ssm2)
+        out = loss + sum(jnp.sum(jnp.abs(l)) * 1e-9
+                         for l in jax.tree_util.tree_leaves(new_ssm))
+        return out.astype(jnp.float32) * 1e-6
+
+    return _slope(ng_step, (ssm0,))
+
+
+def bench_svgp_natgrad(n: int, m: int):
+    """BASELINE config 3: sparse VGP with inducing states, one natural-
+    gradient step on q(s(Z)) (float64)."""
+    import jax
+    import jax.numpy as jnp
+
+    from markovflow_tpu.kernels import Matern32
+    from markovflow_tpu.likelihoods import Gaussian
+    from markovflow_tpu.models import SparseVariationalGaussianProcess
+    from markovflow_tpu.ssm_natgrad import SSMNaturalGradient
+
+    rng = np.random.default_rng(2)
+    span = n / 1000.0
+    x = np.linspace(0.0, span, n)
+    y = (np.sin(2.0 * x) + 0.2 * rng.standard_normal(n))[:, None]
+    z = np.linspace(-0.01, span + 0.01, m)
+    xj, yj = jnp.asarray(x, jnp.float64), jnp.asarray(y, jnp.float64)
+    svgp = SparseVariationalGaussianProcess(
+        kernel=Matern32(lengthscale=0.5, variance=1.0),
+        likelihood=Gaussian(variance=0.04),
+        inducing_points=jnp.asarray(z, jnp.float64))
+    opt = SSMNaturalGradient(gamma=0.5, naturals_engine="parallel")
+    ssm0 = svgp.dist_q.non_trainable_copy()
+
+    def ng_step(acc, ssm, data_x, data_y):
+        ssm2 = ssm.replace(_mu0=ssm.initial_mean * (1 + acc * 1e-30))
+        new_ssm, _, loss = opt.step(
+            lambda s: svgp.with_dist_q(s).loss((data_x, data_y)), ssm2)
+        out = loss + sum(jnp.sum(jnp.abs(l)) * 1e-9
+                         for l in jax.tree_util.tree_leaves(new_ssm))
+        return out.astype(jnp.float32) * 1e-6
+
+    return _slope(ng_step, (ssm0, xj, yj))
+
 
 if __name__ == "__main__":
     main()

@@ -144,18 +144,16 @@ def conditional_predict(new_time_points, existing_time_points, kernel, dist):
     return base_conditional_predict(p_proj, offset, t_cov, adj_means, adj_covs)
 
 
-def cyclic_reduction_conditional_statistics(time_points, kernel):
-    """Conditional statistics for the cyclic-reduction (divide & conquer)
-    parameterization: for each odd point, p(x_odd | x_left_even, x_right_even)
-    (reference: conditionals.py:258-376 — defined there but unused by models;
-    kept for parity and as the building block of blocked parallel solvers).
+def cyclic_reduction_odd_even_statistics(time_points, kernel):
+    """Conditional statistics for one cyclic-reduction level over a single
+    sorted grid: for each odd point, p(x_odd | x_left_even, x_right_even).
 
     Returns (P [..., M, d, 2d], offset, T) for the odd points given their even
-    neighbours.
+    neighbours.  (The reference exposes the same math through the (F, G, L)
+    factors of :func:`cyclic_reduction_conditional_statistics`.)
     """
     odd = time_points[..., 1::2]
     left = time_points[..., 0::2][..., : odd.shape[-1]]
-    n_even = time_points.shape[-1] - odd.shape[-1]
     right_src = jnp.concatenate([
         time_points[..., 0::2],
         jnp.full_like(time_points[..., :1], APPROX_INF),
@@ -168,3 +166,54 @@ def cyclic_reduction_conditional_statistics(time_points, kernel):
     b1 = kernel.state_offsets(a1, dt1, transition_times=left)
     b2 = kernel.state_offsets(a2, dt2, transition_times=odd)
     return _conditional_statistics_from_transitions(a1, q1, b1, a2, q2, b2)
+
+
+def cyclic_reduction_conditional_statistics(explained_time_points,
+                                            conditioning_time_points, kernel):
+    """The (F, G, L) factors of the cyclic-reduction parameterization
+    (reference: conditionals.py:258-376 — defined there but unused by
+    models).
+
+    With interleaved sorted points  xᵉ₀ < xᶜ₀ < xᵉ₁ < xᶜ₁ < ...  (explained
+    e, conditioning c; len(e) == len(c) or len(c) + 1):
+
+        p(xᵉₜ | xᶜₜ₋₁, xᶜₜ) = N(Dₜ xᶜₜ₋₁ + Eₜ xᶜₜ, (Lₜ Lₜᵀ)⁻¹)
+
+    where ``Lₜ`` is the Cholesky factor of the conditional *precision* and
+    the returned factors are ``Fₜ = -Eₜᵀ Lₜ`` (the right-neighbour weights)
+    and ``Gₜ = -Dₜ₊₁ᵀ Lₜ₊₁`` (the left-neighbour weights), so that
+    ``E[xᵉ | xᶜ] = -L⁻ᵀ Uᵀ xᶜ`` with U the bidiagonal matrix of F/G blocks
+    (reference docstring, conditionals.py:275-304).
+
+    Returns (F [..., n_c, d, d], G [..., n_e - 1, d, d], L [..., n_e, d, d])
+    — the shapes the reference docstring specifies (conditionals.py:308-313):
+    F drops the entry for xᵉ's last point when it has no right conditioning
+    neighbour (phantom at +APPROX_INF), G drops xᵉ₀'s undefined left weight
+    (phantom at -APPROX_INF).  (The reference's own slicing ``F[..., 1:]`` /
+    ``G[..., :n_c]`` operates on the matrix-column axis — a latent bug in
+    code no model calls; this implementation follows the documented shapes.)
+    """
+    n_e = explained_time_points.shape[-1]
+    n_c = conditioning_time_points.shape[-1]
+    assert n_e in (n_c, n_c + 1), (n_e, n_c)
+    inf = jnp.full_like(conditioning_time_points[..., :1], APPROX_INF)
+    aug = jnp.concatenate([-inf, conditioning_time_points, inf], axis=-1)
+    left = aug[..., :n_e]
+    right = aug[..., 1 : n_e + 1]
+    dt1 = jnp.clip(explained_time_points - left, 0.0, APPROX_INF)
+    dt2 = jnp.clip(right - explained_time_points, 0.0, APPROX_INF)
+    a1, q1 = kernel.transition_statistics(left, dt1)
+    a2, q2 = kernel.transition_statistics(explained_time_points, dt2)
+    # conditional precision T^{-1} = Q1^{-1} + A2^T Q2^{-1} A2 and mean
+    # projections D (on the left point), E (on the right point)
+    q1_inv = small_inv(symmetrize(q1))
+    q2_inv_a2 = small_inv(symmetrize(q2)) @ a2
+    t_inv = symmetrize(q1_inv
+                       + jnp.einsum("...ji,...jk->...ik", a2, q2_inv_a2))
+    t_cov = symmetrize(small_inv(t_inv))
+    d_proj = t_cov @ q1_inv @ a1
+    e_proj = t_cov @ tlt(q2_inv_a2)
+    chol_l = jnp.linalg.cholesky(t_inv)
+    f_fac = -jnp.einsum("...ji,...jk->...ik", e_proj, chol_l)
+    g_fac = -jnp.einsum("...ji,...jk->...ik", d_proj, chol_l)
+    return (f_fac[..., :n_c, :, :], g_fac[..., 1:, :, :], chol_l)

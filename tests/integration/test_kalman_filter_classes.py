@@ -4,7 +4,10 @@ import jax.numpy as jnp
 import numpy as np
 from numpy.testing import assert_allclose
 
-from markovflow_tpu.conditionals import cyclic_reduction_conditional_statistics
+from markovflow_tpu.conditionals import (
+    cyclic_reduction_conditional_statistics,
+    cyclic_reduction_odd_even_statistics,
+)
 from markovflow_tpu.kalman_filter import (
     KalmanFilter,
     KalmanFilterWithSites,
@@ -81,7 +84,7 @@ def test_cyclic_reduction_statistics_consistency(rng):
 
     x = np.sort(rng.uniform(0, 5, 9))
     kernel = Matern32(lengthscale=0.8, variance=1.1)
-    p_cr, off_cr, t_cr = cyclic_reduction_conditional_statistics(
+    p_cr, off_cr, t_cr = cyclic_reduction_odd_even_statistics(
         jnp.asarray(x), kernel)
     odd = jnp.asarray(x[1::2])
     even = jnp.asarray(x[0::2])
