@@ -155,3 +155,53 @@ def test_band_layout_round_trip(rng):
     back_l = banded_to_block_tri(band_l, n, d, symmetric=False)
     assert_allclose(np.asarray(back_l.to_dense()),
                     np.asarray(chol.to_dense()), atol=1e-12)
+
+
+def _random_spd_btd(rng, n, d, batch=()):
+    """Random SPD block-tridiagonal (diag, lower) via M = B B^T + n*I with B
+    block-bidiagonal."""
+    bd = rng.standard_normal(batch + (n, d, d))
+    bl = 0.5 * rng.standard_normal(batch + (n - 1, d, d))
+    diag = bd @ np.swapaxes(bd, -1, -2) + (n + d) * np.eye(d)
+    diag[..., 1:, :, :] += bl @ np.swapaxes(bl, -1, -2)
+    lower = bl @ np.swapaxes(bd[..., :-1, :, :], -1, -2)
+    return jnp.asarray(diag), jnp.asarray(lower)
+
+
+@pytest.mark.parametrize("n", [2, 5, 8, 16, 33])
+@pytest.mark.parametrize("d", [1, 3, 8])
+def test_cr_solve_and_log_det_match_dense(rng, n, d):
+    """Cyclic-reduction solve / log-det (the O(log N)-depth d > 6 engine)
+    vs dense NumPy."""
+    diag, lower = _random_spd_btd(rng, n, d)
+    mat = SymmetricBlockTriDiagonal(diag, lower)
+    dense = np.asarray(mat.to_dense())
+    rhs = rng.standard_normal((n, d))
+    x = mat.cr_solve(jnp.asarray(rhs))
+    expected = np.linalg.solve(dense, rhs.reshape(-1)).reshape(n, d)
+    assert_allclose(np.asarray(x), expected, atol=1e-8)
+    ld = float(mat.cr_abs_log_det())
+    assert_allclose(ld, np.linalg.slogdet(dense)[1], atol=1e-8)
+
+
+def test_cr_solve_batched(rng):
+    n, d, batch = 9, 2, (3,)
+    diag, lower = _random_spd_btd(rng, n, d, batch)
+    mat = SymmetricBlockTriDiagonal(diag, lower)
+    dense = np.asarray(mat.to_dense())
+    rhs = rng.standard_normal(batch + (n, d))
+    x = np.asarray(mat.cr_solve(jnp.asarray(rhs)))
+    for b in range(batch[0]):
+        expected = np.linalg.solve(dense[b], rhs[b].reshape(-1)).reshape(n, d)
+        assert_allclose(x[b], expected, atol=1e-8)
+
+
+def test_cholesky_d8_matches_dense(rng):
+    """Block Cholesky at d = 8 (beyond the Pallas closed-form range) equals
+    the dense Cholesky of the assembled matrix."""
+    n, d = 6, 8
+    diag, lower = _random_spd_btd(rng, n, d)
+    mat = SymmetricBlockTriDiagonal(diag, lower)
+    chol = mat.cholesky()
+    dense_l = np.linalg.cholesky(np.asarray(mat.to_dense()))
+    assert_allclose(np.asarray(chol.to_dense()), dense_l, atol=1e-8)
