@@ -51,3 +51,29 @@ def test_checkpoint_roundtrip(tmp_path, rng):
         float(restored.kernel.lengthscale.value),
         float(trained.kernel.lengthscale.value), rtol=1e-12)
     assert_allclose(float(restored.loss()), float(trained.loss()), rtol=1e-12)
+
+
+def test_filtered_value_and_grad_matches_full(rng):
+    """filtered_value_and_grad == value_and_grad + zero_untrainable."""
+    import jax
+    import jax.numpy as jnp
+    from numpy.testing import assert_allclose
+
+    from markovflow_tpu.kernels import Matern32
+    from markovflow_tpu.models import GaussianProcessRegression
+    from markovflow_tpu.utils import (filtered_value_and_grad, trainable_mask,
+                                      zero_untrainable)
+
+    x = jnp.asarray(np.sort(rng.uniform(0, 5, 20)))
+    y = jnp.asarray(np.sin(np.asarray(x)))[:, None]
+    model = GaussianProcessRegression(
+        (x, y), Matern32(lengthscale=0.7, variance=1.2),
+        jnp.asarray([[0.3]]))
+    mask = trainable_mask(model)
+    loss_f, grads_f = filtered_value_and_grad(lambda m: m.loss(), model, mask)
+    loss_0, grads_0 = jax.value_and_grad(lambda m: m.loss())(model)
+    grads_0 = zero_untrainable(grads_0, mask)
+    assert_allclose(float(loss_f), float(loss_0), rtol=1e-12)
+    for a, b in zip(jax.tree_util.tree_leaves(grads_f),
+                    jax.tree_util.tree_leaves(grads_0)):
+        assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-12)
