@@ -37,9 +37,12 @@ class MultivariateGaussian(Likelihood):
     def variational_expectations(self, f_means, f_covariances, y):
         chol = self.chol_covariance.value
         base = mvn_logpdf(y, f_means, chol)
+        # jax.scipy solve_triangular requires equal batch ranks — broadcast
+        # the (unbatched) observation Cholesky over the data axes.
+        chol_b = jnp.broadcast_to(chol, f_covariances.shape)
         x = jax.scipy.linalg.solve_triangular(
-            chol, f_covariances, lower=True)
-        x = jax.scipy.linalg.solve_triangular(tlt(chol), x, lower=False)
+            chol_b, f_covariances, lower=True)
+        x = jax.scipy.linalg.solve_triangular(tlt(chol_b), x, lower=False)
         return base - 0.5 * jnp.trace(x, axis1=-2, axis2=-1)
 
     def predict_mean_and_var(self, f_means, f_covariances):

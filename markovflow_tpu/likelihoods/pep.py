@@ -70,8 +70,9 @@ class PEPGaussian(PEPScalarLikelihood):
         s = self.base.variance.value
         var = s / alpha + f_covariances
         log_norm = -0.5 * ((y - f_means) ** 2 / var + jnp.log(var) + _LOG_2PI)
-        # correction: log integral N^a dy' per-site constant
-        corr = (1.0 - alpha) * (-0.5) * (_LOG_2PI + jnp.log(s)) - 0.5 * jnp.log(
+        # constant from the alpha-power of the Gaussian:
+        # N(y|f,s)^a = (2 pi s)^{(1-a)/2} a^{-1/2} N(y; f, s/a)
+        corr = 0.5 * (1.0 - alpha) * (_LOG_2PI + jnp.log(s)) - 0.5 * jnp.log(
             jnp.asarray(alpha, f_means.dtype))
         return log_norm[..., 0] + corr
 
