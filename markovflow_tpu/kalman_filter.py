@@ -130,7 +130,8 @@ class BaseKalmanFilter(Module, abc.ABC):
         return (jnp.moveaxis(m_f[..., 0, :], -1, -2),
                 jnp.moveaxis(p_f, -1, -3))
 
-    def log_likelihood(self, grad_engine: str = "autodiff") -> jnp.ndarray:
+    def log_likelihood(self, grad_engine: str = "autodiff", mesh=None,
+                       axis: str = "sp") -> jnp.ndarray:
         """log p(Y) of the (pseudo-)observation model
         (reference: kalman_filter.py:184-255).
 
@@ -149,11 +150,28 @@ class BaseKalmanFilter(Module, abc.ABC):
           when every ``Q_k`` is well-conditioned (well-separated time
           points, float64).  Kept for parity with EM-style formulations.
 
+        * ``"collective"`` — the Koopman score with *explicit-collective*
+          sequence parallelism (:mod:`markovflow_tpu.parallel.
+          collective_scan`): the time axis is sharded over ``mesh``'s
+          ``axis`` dimension and both scans communicate O(P d^2) per level
+          via XLA collectives, independent of T.  Requires ``mesh``.
+
         Note: the analytic engines define a custom VJP, so forward-mode
         differentiation (``jax.jvp``/``jax.hessian``) through the loss
         requires ``"autodiff"``.
         """
         F, c, Q, h, nu, lam, mask = self._tl_inputs()
+        if grad_engine == "collective":
+            from .parallel.collective_scan import sharded_log_likelihood_koopman
+
+            if mesh is None:
+                raise ValueError(
+                    'grad_engine="collective" requires a mesh '
+                    "(jax.sharding.Mesh with the sequence axis named "
+                    f"{axis!r}).")
+            return sharded_log_likelihood_koopman(F, c, Q, h, nu, lam,
+                                                  mask=mask, mesh=mesh,
+                                                  axis=axis)
         if grad_engine == "koopman":
             from .ops.adjoint import log_likelihood_koopman
 

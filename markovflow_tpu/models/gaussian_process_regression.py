@@ -26,7 +26,8 @@ class GaussianProcessRegression(MarkovFlowModel):
     def __init__(self, input_data: Tuple[jnp.ndarray, jnp.ndarray],
                  kernel: SDEKernel, chol_obs_covariance: jnp.ndarray,
                  mean_function: Optional[MeanFunction] = None,
-                 grad_engine: str = "koopman"):
+                 grad_engine: str = "koopman", mesh=None,
+                 shard_axis: str = "sp"):
         """input_data: (time_points [..., N], observations [..., N, o]);
         chol_obs_covariance [o, o] (reference: gaussian_process_regression.py:54-96).
 
@@ -35,7 +36,10 @@ class GaussianProcessRegression(MarkovFlowModel):
         gradients as autodiff to float roundoff, at ~the cost of one extra
         scan; "autodiff" differentiates through the scan pipeline (required
         for forward-mode/Hessian use); "fisher" is the EM-form VJP (float64 /
-        well-separated time points only)."""
+        well-separated time points only); "collective" runs the Koopman
+        score with explicit-collective sequence parallelism over ``mesh``'s
+        ``shard_axis`` dimension (shard the data over that axis with
+        ``parallel.shard_batched_series`` or a NamedSharding)."""
         self.time_points, self.observations = input_data
         check_time_points(self.time_points)
         obs_shape = jnp.shape(self.observations)
@@ -49,6 +53,8 @@ class GaussianProcessRegression(MarkovFlowModel):
         self.chol_obs_covariance = chol_obs_covariance
         self.mean_function = mean_function
         self.grad_engine = grad_engine
+        self.mesh = mesh
+        self.shard_axis = shard_axis
 
     def _residual(self):
         """Observations minus the mean function
@@ -72,7 +78,9 @@ class GaussianProcessRegression(MarkovFlowModel):
 
     def log_likelihood(self) -> jnp.ndarray:
         """log p(Y) (reference: gaussian_process_regression.py:152-160)."""
-        return self.kalman.log_likelihood(grad_engine=self.grad_engine)
+        return self.kalman.log_likelihood(grad_engine=self.grad_engine,
+                                          mesh=self.mesh,
+                                          axis=self.shard_axis)
 
     def loss(self) -> jnp.ndarray:
         return -self.log_likelihood()
