@@ -1,88 +1,161 @@
-"""North-star benchmark: exact GPR training step at T = 1e6 (Matern-3/2).
+"""Driver benchmark: all 5 BASELINE.md configs, one JSON line.
 
-Runs on whatever accelerator JAX picks (the real TPU chip under the driver).
-Measures one full training step — value_and_grad of the log marginal
-likelihood (Koopman analytic-adjoint engine + Pallas scan kernels) — and
-prints ONE JSON line.
+Headline metric: exact GPR training step at T = 1e6 (Matern-3/2) — the
+north-star config (< 50 ms target on one TPU v5e chip).  The `configs`
+field carries one driver-captured number per BASELINE.md config:
+
+  1. gpr      — exact GPR train step, T = 1e6, f32 (north star)
+  2. vgp      — VGP + Bernoulli natural-gradient step, T = 1e5, f64
+  3. svgp     — sparse VGP natgrad step, N = 1e5 data / M = 2048 inducing, f64
+  4. cvi      — CVI full iteration (site update + ELBO grad), T = 1e6, f32
+  5. sde      — DoubleWell SDE VI iteration (linearize + smooth + KL), f32
 
 Timing protocol (honest; see benchmarks/harness.py): on the axon runtime
 ``jax.block_until_ready`` is a NO-OP, so naive loops measure dispatch
-latency, not device time.  Here the step runs K times inside one jit with a
-genuine data dependency between iterations, a scalar is read back (the only
-honest clock), and the per-step time is the slope between K=1 and K=2
-(chains with K >= 3 are rejected by this runtime).
+latency, not device time.  Every workload runs K times inside one jit with
+a genuine data dependency between iterations, a scalar is read back (the
+only honest clock), and the per-step time is the slope between K=1 and K=2.
 
-Target (BASELINE.md): < 50 ms / step on one TPU v5e chip.  ``vs_baseline``
-is target_ms / measured_ms (>1 means beating the target).
+``vs_baseline`` is target_ms / measured_ms for the north star (>1 means
+beating the target).  The per-config reference comparison lives in
+BENCHMARKS.md (LAPACK banded-Cholesky / TF-CPU stand-ins measured by
+benchmarks/tf_cpu_baseline.py — the reference itself publishes no numbers).
 """
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
 
 
-def main():
+def _note(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _slope(step, args, reps=9):
     import jax
-
-    # Persistent compilation cache (first compile is slow; cache across runs).
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
-
-    from markovflow_tpu.kernels import Matern32
-    from markovflow_tpu.models import GaussianProcessRegression
-
-    dtype = jnp.float32
-    t_len = 1_000_000
-    rng = np.random.default_rng(0)
-    x = np.linspace(0.0, 1000.0, t_len)
-    y = (np.sin(2.0 * x) + 0.2 * rng.standard_normal(t_len))[:, None]
-
-    model = GaussianProcessRegression(
-        input_data=(jnp.asarray(x, dtype), jnp.asarray(y, dtype)),
-        kernel=Matern32(lengthscale=0.5, variance=1.0),
-        chol_obs_covariance=jnp.asarray([[0.2]], dtype),
-    )  # grad_engine="koopman" (default): analytic adjoint + Pallas scans
-
-    def step(acc, m):
-        m2 = m.replace(observations=m.observations * (1 + acc * 1e-30))
-        loss, grads = jax.value_and_grad(lambda mm: mm.loss())(m2)
-        gsum = sum(jnp.sum(jnp.abs(l))
-                   for l in jax.tree_util.tree_leaves(grads))
-        return (loss + gsum).astype(jnp.float32) * 1e-6
 
     def chain(k):
         @jax.jit
-        def fn(m):
+        def fn(*a):
             def body(_, acc):
-                return step(acc, m)
+                return step(acc, *a)
             return jax.lax.fori_loop(0, k, body, jnp.zeros((), jnp.float32))
         return fn
 
     fns = {k: chain(k) for k in (1, 2)}
     for fn in fns.values():
-        float(fn(model))  # compile + drain
-
+        float(fn(*args))  # compile + drain
     t = {}
     for k, fn in fns.items():
         times = []
-        for _ in range(9):
+        for _ in range(reps):
             t0 = time.perf_counter()
-            float(fn(model))
+            float(fn(*args))
             times.append(time.perf_counter() - t0)
         t[k] = float(np.median(times))
-    ms = (t[2] - t[1]) * 1e3
+    return (t[2] - t[1]) * 1e3
 
-    loss = float(jax.jit(lambda m: m.loss())(model))
+
+def bench_gpr_and_cvi():
+    import jax
+    import jax.numpy as jnp
+
+    from markovflow_tpu.kernels import Matern32
+    from markovflow_tpu.likelihoods import Gaussian
+    from markovflow_tpu.models import CVIGaussianProcess, \
+        GaussianProcessRegression
+    from markovflow_tpu.utils import filtered_value_and_grad, trainable_mask
+
+    t_len = 1_000_000
+    rng = np.random.default_rng(0)
+    x = np.linspace(0.0, 1000.0, t_len)
+    y = (np.sin(2.0 * x) + 0.2 * rng.standard_normal(t_len))[:, None]
+    xj = jnp.asarray(x, jnp.float32)
+    yj = jnp.asarray(y, jnp.float32)
+
+    gpr = GaussianProcessRegression(
+        input_data=(xj, yj), kernel=Matern32(lengthscale=0.5, variance=1.0),
+        chol_obs_covariance=jnp.asarray([[0.2]], jnp.float32))
+
+    gpr_mask = trainable_mask(gpr)
+
+    def grad_step(acc, m):
+        m2 = m.replace(observations=m.observations * (1 + acc * 1e-30))
+        loss, grads = filtered_value_and_grad(lambda mm: mm.loss(), m2,
+                                              gpr_mask)
+        gsum = sum(jnp.sum(jnp.abs(l))
+                   for l in jax.tree_util.tree_leaves(grads))
+        return (loss + gsum).astype(jnp.float32) * 1e-6
+
+    gpr_ms = _slope(grad_step, (gpr,))
+    loss = float(jax.jit(lambda m: m.loss())(gpr))
+
+    cvi = CVIGaussianProcess(
+        input_data=(xj, yj), kernel=Matern32(lengthscale=0.5, variance=1.0),
+        likelihood=Gaussian(variance=0.04), learning_rate=0.5)
+
+    cvi_mask = trainable_mask(cvi)
+
+    def cvi_step(acc, m):
+        m2 = m.replace(observations=m.observations * (1 + acc * 1e-30))
+        m3 = m2.update_sites()
+        l, grads = filtered_value_and_grad(lambda mm: mm.loss(), m3, cvi_mask)
+        gsum = sum(jnp.sum(jnp.abs(g))
+                   for g in jax.tree_util.tree_leaves(grads))
+        s = sum(jnp.sum(jnp.abs(g))
+                for g in jax.tree_util.tree_leaves(m3.sites.nat1))
+        return (l + gsum + s).astype(jnp.float32) * 1e-9
+
+    cvi_ms = _slope(cvi_step, (cvi,))
+    return gpr_ms, cvi_ms, loss
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import benchmarks.run_all as cfgs
+
+    configs = {}
+    _note("bench: gpr+cvi ...")
+    gpr_ms, cvi_ms, loss = bench_gpr_and_cvi()
+    configs["gpr_T1e6_f32_ms"] = round(gpr_ms, 3)
+    configs["cvi_T1e6_f32_ms"] = round(cvi_ms, 3)
+    _note("bench: sde ...")
+    try:
+        configs["sde_doublewell_n16384_f32_ms"] = round(
+            cfgs.bench_sde_vi(quick=False), 3)
+    except Exception as e:  # keep the headline metric alive
+        configs["sde_doublewell_n16384_f32_ms"] = f"error: {type(e).__name__}"
+    jax.config.update("jax_enable_x64", True)
+    _note("bench: vgp natgrad f64 ...")
+    try:
+        configs["vgp_bernoulli_natgrad_T1e5_f64_ms"] = round(
+            cfgs.bench_vgp_natgrad(100_000), 3)
+    except Exception as e:
+        configs["vgp_bernoulli_natgrad_T1e5_f64_ms"] = \
+            f"error: {type(e).__name__}"
+    _note("bench: svgp natgrad f64 ...")
+    try:
+        configs["svgp_natgrad_N1e5_M2048_f64_ms"] = round(
+            cfgs.bench_svgp_natgrad(100_000, 2048), 3)
+    except Exception as e:
+        configs["svgp_natgrad_N1e5_M2048_f64_ms"] = f"error: {type(e).__name__}"
+
     target_ms = 50.0
     print(json.dumps({
         "metric": "gpr_train_step_T1e6_matern32_ms",
-        "value": round(ms, 4),
+        "value": round(gpr_ms, 4),
         "unit": "ms",
-        "vs_baseline": round(target_ms / ms, 2),
+        "vs_baseline": round(target_ms / gpr_ms, 2),
         "loss": round(loss, 2),
+        "configs": configs,
     }))
 
 
