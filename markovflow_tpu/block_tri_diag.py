@@ -16,7 +16,7 @@ autodiff replaces the C++ library's hand-written gradients.
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +24,8 @@ import jax.numpy as jnp
 from .utils.linalg import symmetrize, tlt
 
 __all__ = ["SymmetricBlockTriDiagonal", "LowerTriangularBlockTriDiagonal",
-           "banded_to_block_tri"]
+           "BlockBandedLowerTriangular", "banded_to_block_tri",
+           "product_block_band", "solve_triang_block_band"]
 
 
 def _move_time_front(x, batch_ndim):
@@ -468,3 +469,233 @@ def banded_to_block_tri(band: jnp.ndarray, num_blocks: int, block_dim: int,
         diag = jnp.tril(diag) + tlt(jnp.tril(diag, k=-1))
         return SymmetricBlockTriDiagonal(diag, lower)
     return LowerTriangularBlockTriDiagonal(diag, lower)
+
+
+class BlockBandedLowerTriangular:
+    """General lower block-banded matrix: ``bands[o]`` ([..., N-o, d, d])
+    holds the ``o``-th block subdiagonal, ``bands[o][..., k, :, :]`` =
+    block ``(k + o, k)``.  The result type of the banded×banded algebra
+    below (the reference's general ``BandedMatrixTensor`` restricted to the
+    block-aligned lower-banded case every markovflow call site uses).
+    """
+
+    def __init__(self, bands: Sequence[jnp.ndarray]):
+        assert len(bands) >= 1
+        n, d = bands[0].shape[-3], bands[0].shape[-1]
+        for o, b in enumerate(bands):
+            assert b.shape[-3] == n - o and b.shape[-2:] == (d, d), (
+                f"band {o}: {b.shape} incompatible with N={n}, d={d}")
+        self.bands = list(bands)
+
+    @property
+    def num_blocks(self) -> int:
+        return self.bands[0].shape[-3]
+
+    @property
+    def block_dim(self) -> int:
+        return self.bands[0].shape[-1]
+
+    @property
+    def lower_block_bandwidth(self) -> int:
+        return len(self.bands) - 1
+
+    def row_aligned(self) -> jnp.ndarray:
+        """[..., N, r+1, d, d] with ``[..., i, o]`` = block ``(i, i - o)``
+        (zero where ``i < o``) — the scan-friendly layout."""
+        n = self.num_blocks
+        rows = []
+        for o, b in enumerate(self.bands):
+            pad = jnp.zeros(b.shape[:-3] + (o,) + b.shape[-2:], b.dtype)
+            rows.append(jnp.concatenate([pad, b], axis=-3))
+        return jnp.stack(rows, axis=-3)
+
+    def to_dense(self) -> jnp.ndarray:
+        n, d = self.num_blocks, self.block_dim
+        batch = self.bands[0].shape[:-3]
+        out = jnp.zeros(batch + (n * d, n * d), self.bands[0].dtype)
+        for o, b in enumerate(self.bands):
+            for k in range(n - o):
+                out = out.at[..., (k + o) * d:(k + o + 1) * d,
+                             k * d:(k + 1) * d].set(b[..., k, :, :])
+        return out
+
+
+def _as_block_banded(m) -> BlockBandedLowerTriangular:
+    if isinstance(m, BlockBandedLowerTriangular):
+        return m
+    n = m.num_blocks
+    bands = [m.diag]
+    if m.lower is not None:
+        bands.append(m.lower)
+    elif n > 1:
+        bands.append(jnp.zeros(m.diag.shape[:-3] + (n - 1,)
+                               + m.diag.shape[-2:], m.diag.dtype))
+    return BlockBandedLowerTriangular(bands)
+
+
+def product_block_band(left, right, result_lower_blocks: int,
+                       transpose_left: bool = False,
+                       symmetrise_left: bool = False
+                       ) -> BlockBandedLowerTriangular:
+    """Banded × banded product with a band-truncated result — the block
+    equivalent of the C++ ``product_band_band``
+    (reference: tests/tools/state_space_model.py:126-155, banded_matrices).
+
+    ``left``/``right`` are :class:`BlockBandedLowerTriangular` (or the two
+    block-tridiagonal classes above, auto-converted to their lower bands).
+    With ``symmetrise_left`` the left operand is treated as symmetric
+    (its strict upper triangle mirrored from the stored lower bands); with
+    ``transpose_left`` it enters as ``leftᵀ``.  Only block subdiagonals
+    ``0..result_lower_blocks`` of the product are formed — entries outside
+    are dropped exactly as the reference op does.  Pure block convolution
+    (one einsum per (o_l, o_r) pair): fully parallel over the time axis.
+    """
+    lb = _as_block_banded(left)
+    rb = _as_block_banded(right)
+    assert not (transpose_left and symmetrise_left)
+    n, d = lb.num_blocks, lb.block_dim
+    assert rb.num_blocks == n and rb.block_dim == d
+    batch = jnp.broadcast_shapes(lb.bands[0].shape[:-3],
+                                 rb.bands[0].shape[:-3])
+    dtype = jnp.result_type(lb.bands[0].dtype, rb.bands[0].dtype)
+
+    # left blocks as (offset -> band array), offset may be negative
+    # (superdiagonal) under transpose/symmetrise; left_off[s][k] = block
+    # (k + s, k) for s >= 0, and block (k, k - s) = stored[k]ᵀ for s < 0.
+    left_off = {}
+    for o, b in enumerate(lb.bands):
+        if transpose_left:
+            left_off[-o] = tlt(b)
+        else:
+            left_off[o] = b
+            if symmetrise_left and o > 0:
+                left_off[-o] = tlt(b)
+
+    out = [jnp.zeros(batch + (n - o, d, d), dtype)
+           for o in range(result_lower_blocks + 1)]
+    for s, a in left_off.items():           # result(i, j) += L(i, k) R(k, j)
+        for o_r, r in enumerate(rb.bands):  # k = i - s, o_r = k - j
+            o = s + o_r                     # result offset i - j
+            if o < 0 or o > result_lower_blocks:
+                continue
+            # valid rows i: L(i, i-s) needs i-s in [0, n-1-max(0,s)] and
+            # R(i-s, i-o) needs i-o in [0, n-1-o_r]
+            i0 = max(o, s, 0)
+            i1 = n + min(0, s)
+            if i1 <= i0:
+                continue
+            # L(i, i-s): s >= 0 bands are column-indexed (a[k]=block(k+s,k),
+            # k = i-s); s < 0 (transposed) bands are row-indexed (a[i] =
+            # block(i, i-s))
+            ai = (a[..., i0 - s:i1 - s, :, :] if s >= 0
+                  else a[..., i0:i1, :, :])
+            # R(i-s, i-o): band o_r column-indexed by j = i-o
+            rj = r[..., i0 - o:i1 - o, :, :]
+            prod = jnp.einsum("...nij,...njk->...nik", ai, rj)
+            out[o] = out[o].at[..., i0 - o:i1 - o, :, :].add(prod)
+    return BlockBandedLowerTriangular(out)
+
+
+def solve_triang_block_band(chol: LowerTriangularBlockTriDiagonal, right,
+                            result_lower_blocks: int,
+                            transpose_left: bool = False
+                            ) -> BlockBandedLowerTriangular:
+    """``L⁻¹ B`` (or ``L⁻ᵀ B``) restricted to a block band — the block
+    equivalent of the C++ ``solve_triang_band``
+    (reference: ssm_gaussian_transformations.py:473-481,
+    tests/tools/state_space_model.py:194-200).
+
+    ``chol`` is lower block-bidiagonal, ``B`` lower block-banded.  The
+    returned subdiagonal blocks ``0..result_lower_blocks`` are *exact*:
+
+    * ``transpose_left=False``: ``X = L⁻¹B`` is lower-triangular; row
+      recursion ``Xᵢ. = Dᵢ⁻¹(Bᵢ. − Lᵢ,ᵢ₋₁ Xᵢ₋₁.)`` touches only offsets
+      ``o-1`` of the previous row, so a width-(r+1) window is closed.
+    * ``transpose_left=True``: ``X = L⁻ᵀB`` vanishes below block offset
+      ``q`` = B's bandwidth (upper-triangular ``L⁻ᵀ`` × lower-banded
+      ``B``), so the backward recursion over a width-(max(r,q)+1) window
+      is closed — the ``o = q`` element's ``o+1`` neighbour is exactly
+      zero.  Requested offsets beyond ``q`` return zero blocks.
+
+    Sequential ``lax.scan`` over rows (this is the API-parity path, like
+    the C++ op it replaces; the inference engines never call it on hot
+    paths — they use the associative-scan/Pallas formulations).
+    """
+    rb = _as_block_banded(right)
+    n, d = rb.num_blocks, rb.block_dim
+    r = result_lower_blocks
+    q = rb.lower_block_bandwidth
+    solve = jax.scipy.linalg.solve_triangular
+
+    if transpose_left:
+        # window width: max(r, q) + 1 so the recursion is closed; truncate
+        # to r+1 at the end.
+        w = max(r, q)
+    else:
+        w = r
+    # row-aligned B padded to window width w
+    brow = rb.row_aligned()  # [..., N, q+1, d, d]
+    if w > q:
+        pad = jnp.zeros(brow.shape[:-3] + (w - q,) + brow.shape[-2:],
+                        brow.dtype)
+        brow = jnp.concatenate([brow, pad], axis=-3)
+    else:
+        brow = brow[..., : w + 1, :, :]
+
+    batch_ndim = brow.ndim - 4
+    brow_t = jnp.moveaxis(brow, batch_ndim, 0)          # [N, ..., w+1, d, d]
+    diag_t = _move_time_front(chol.diag, batch_ndim)    # [N, ..., d, d]
+    if chol.lower is None:
+        low = jnp.zeros(chol.diag.shape[:-3] + (n - 1,) + chol.diag.shape[-2:],
+                        chol.diag.dtype)
+    else:
+        low = chol.lower
+    low_t = _move_time_front(low, batch_ndim)           # [N-1, ..., d, d]
+    zrow = jnp.zeros_like(brow_t[0])
+
+    if not transpose_left:
+        def step(w_prev, inp):
+            d_k, l_k, b_k = inp
+            # shift offsets: X_{i-1, i-o} is the previous row's offset o-1
+            shifted = jnp.concatenate(
+                [jnp.zeros_like(w_prev[..., :1, :, :]),
+                 w_prev[..., :-1, :, :]], axis=-3)
+            resid = b_k - jnp.einsum("...ij,...njk->...nik",
+                                     l_k, shifted)
+            x_k = solve(jnp.broadcast_to(d_k[..., None, :, :], resid.shape),
+                        resid, lower=True)
+            return x_k, x_k
+
+        x0 = solve(jnp.broadcast_to(diag_t[0][..., None, :, :],
+                                    brow_t[0].shape),
+                   brow_t[0], lower=True)
+        _, xs = jax.lax.scan(
+            step, x0,
+            (diag_t[1:], low_t, brow_t[1:]))
+        rows = jnp.concatenate([x0[None], xs], axis=0)
+    else:
+        def step_bwd(w_next, inp):
+            d_k, l_k, b_k = inp  # l_k = L_{k+1,k} (zero for the last row)
+            # X_{i+1, i-o} is the next row's offset o+1; offset w+1 ≡ 0
+            shifted = jnp.concatenate(
+                [w_next[..., 1:, :, :],
+                 jnp.zeros_like(w_next[..., :1, :, :])], axis=-3)
+            resid = b_k - jnp.einsum("...ji,...njk->...nik", l_k, shifted)
+            x_k = solve(jnp.broadcast_to(tlt(d_k)[..., None, :, :],
+                                         resid.shape), resid, lower=False)
+            return x_k, x_k
+
+        low_ext = jnp.concatenate(
+            [low_t, jnp.zeros((1,) + diag_t.shape[1:], diag_t.dtype)], axis=0)
+        _, rows = jax.lax.scan(
+            step_bwd, zrow, (diag_t, low_ext, brow_t), reverse=True)
+
+    rows = jnp.moveaxis(rows, 0, batch_ndim)  # [..., N, w+1, d, d]
+    bands = []
+    for o in range(r + 1):
+        if o <= w:
+            bands.append(rows[..., o:, o, :, :])
+        else:  # beyond the closure width: exactly zero
+            bands.append(jnp.zeros(rows.shape[:-4] + (n - o, d, d),
+                                   rows.dtype))
+    return BlockBandedLowerTriangular(bands)

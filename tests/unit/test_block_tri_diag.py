@@ -205,3 +205,91 @@ def test_cholesky_d8_matches_dense(rng):
     chol = mat.cholesky()
     dense_l = np.linalg.cholesky(np.asarray(mat.to_dense()))
     assert_allclose(np.asarray(chol.to_dense()), dense_l, atol=1e-8)
+
+
+# --- banded x banded algebra (reference: banded_matrices product_band_band
+# / solve_triang_band; tests/tools/state_space_model.py:126-200) ----------
+
+def _tril_block_band(dense_np, n, d, r):
+    """Dense -> BlockBandedLowerTriangular with r block subdiagonals."""
+    from markovflow_tpu.block_tri_diag import BlockBandedLowerTriangular
+    bands = []
+    for o in range(r + 1):
+        blk = np.stack([dense_np[(k + o) * d:(k + o + 1) * d,
+                                 k * d:(k + 1) * d] for k in range(n - o)])
+        bands.append(jnp.asarray(blk))
+    return BlockBandedLowerTriangular(bands)
+
+
+@pytest.mark.parametrize("n,d", [(1, 2), (4, 1), (5, 3)])
+def test_product_block_band_matches_dense(rng, n, d):
+    from markovflow_tpu.block_tri_diag import product_block_band
+    a, dense_a = _random_spd_tridiag(rng, n, d)
+    b, dense_b = _random_spd_tridiag(rng, n, d)
+    la = np.tril(dense_a)
+    lb = np.tril(dense_b)
+    r = min(2, n - 1)
+
+    def tril_band_np(m):
+        out = np.zeros_like(m)
+        for o in range(r + 1):
+            for k in range(n - o):
+                out[(k + o) * d:(k + o + 1) * d, k * d:(k + 1) * d] = \
+                    m[(k + o) * d:(k + o + 1) * d, k * d:(k + 1) * d]
+        return out
+
+    # plain lower x lower
+    got = product_block_band(_tril_block_band(la, n, d, min(1, n - 1)),
+                             _tril_block_band(lb, n, d, min(1, n - 1)),
+                             result_lower_blocks=r).to_dense()
+    assert_allclose(np.asarray(got), tril_band_np(la @ lb), atol=1e-10)
+    # transpose_left: tril(A)^T @ tril(B), band-truncated
+    got = product_block_band(_tril_block_band(la, n, d, min(1, n - 1)),
+                             _tril_block_band(lb, n, d, min(1, n - 1)),
+                             result_lower_blocks=r,
+                             transpose_left=True).to_dense()
+    assert_allclose(np.asarray(got), tril_band_np(la.T @ lb), atol=1e-10)
+    # symmetrise_left: full symmetric A times lower B (the SpInGP
+    # precision-assembly pattern, reference tests/tools:126-141)
+    got = product_block_band(a, _tril_block_band(lb, n, d, min(1, n - 1)),
+                             result_lower_blocks=r,
+                             symmetrise_left=True).to_dense()
+    assert_allclose(np.asarray(got), tril_band_np(dense_a @ lb), atol=1e-10)
+
+
+@pytest.mark.parametrize("transpose", [False, True])
+@pytest.mark.parametrize("n,d", [(1, 2), (5, 2), (6, 1)])
+def test_solve_triang_block_band_matches_dense(rng, n, d, transpose):
+    from markovflow_tpu.block_tri_diag import solve_triang_block_band
+    a, dense_a = _random_spd_tridiag(rng, n, d)
+    b, dense_b = _random_spd_tridiag(rng, n, d)
+    chol = a.cholesky()
+    l_dense = np.asarray(chol.to_dense())
+    lb = np.tril(dense_b)
+    r = min(2, n - 1)
+    x_full = np.linalg.solve(l_dense.T if transpose else l_dense, lb)
+    got = solve_triang_block_band(
+        chol, _tril_block_band(lb, n, d, min(1, n - 1)),
+        result_lower_blocks=r, transpose_left=transpose).to_dense()
+    want = np.zeros_like(x_full)
+    for o in range(r + 1):
+        for k in range(n - o):
+            want[(k + o) * d:(k + o + 1) * d, k * d:(k + 1) * d] = \
+                x_full[(k + o) * d:(k + o + 1) * d, k * d:(k + 1) * d]
+    assert_allclose(np.asarray(got), want, atol=1e-9)
+
+
+def test_solve_triang_block_band_full_width(rng):
+    """result_lower_blocks = N-1 reproduces the full lower triangle — the
+    chol_state_covariance pattern (reference tests/tools:158-200)."""
+    from markovflow_tpu.block_tri_diag import solve_triang_block_band
+    n, d = 4, 2
+    a, _ = _random_spd_tridiag(rng, n, d)
+    b, dense_b = _random_spd_tridiag(rng, n, d)
+    chol = a.cholesky()
+    lb = np.tril(dense_b)
+    got = solve_triang_block_band(
+        chol, _tril_block_band(lb, n, d, 1),
+        result_lower_blocks=n - 1).to_dense()
+    want = np.linalg.solve(np.asarray(chol.to_dense()), lb)
+    assert_allclose(np.asarray(got), want, atol=1e-9)
