@@ -299,3 +299,54 @@ class KalmanFilterWithSparseSites(BaseKalmanFilter):
         lam = lam.at[..., idx, :, :].set(lam_obs)
         mask = jnp.zeros((n,), bool).at[idx].set(True)
         return nu, lam, mask
+
+    def condense(self) -> KalmanFilterWithSites:
+        """Collapse the unobserved grid stretches into single transitions,
+        returning an equivalent M-point :class:`KalmanFilterWithSites`.
+
+        The reference's sparse-site filter (kalman_filter.py:501-626)
+        scatters M sites onto the N-point grid, paying O(N) per inference
+        call however few observations exist.  Marginalizing the unobserved
+        states is exact for a linear-Gaussian chain: the transition from one
+        observed point to the next is the composition of the grid
+        transitions between them — computed here with ONE O(log N)-depth
+        segmented prefix scan (:func:`markovflow_tpu.ops.scans.
+        segmented_affine_cov_scan_tl`) that depends only on the prior, not
+        the sites.  Call this once per prior (eagerly, or let XLA CSE it
+        inside a jitted training step): every subsequent site update /
+        ``log_likelihood`` / posterior call on the result is O(M), restoring
+        the N_obs << N_grid economics the class exists for.
+
+        The condensed filter's ``log_likelihood`` equals this filter's
+        exactly (tested); its posterior lives on the observed time points —
+        use the original grid filter when grid-point marginals are needed.
+        """
+        from .ops.scans import segmented_affine_cov_scan_tl
+
+        F, c, Q = K.prior_step_arrays(self.prior_ssm)
+        to_tl = lambda x: jnp.moveaxis(x, -3, -1)
+        f_tl, c_tl, q_tl = to_tl(F), to_tl(c[..., None]), to_tl(Q)
+        n = self.num_grid_points
+        idx = self.observations_index
+        # segments restart at 0 (prior element) and after each observation;
+        # out-of-bounds scatter (last obs at n-1) is dropped under jit
+        start = jnp.zeros((n,), bool).at[0].set(True).at[idx + 1].set(
+            True, mode="drop")
+        fc, cc, qc = segmented_affine_cov_scan_tl(f_tl, c_tl, q_tl, start)
+        take = lambda x: jnp.take(x, idx, axis=-1)
+        fc, cc, qc = take(fc), take(cc), take(qc)
+
+        from_tl = lambda x: jnp.moveaxis(x, -1, -3)
+        f_m, q_m = from_tl(fc), from_tl(qc)
+        c_m = from_tl(cc)[..., 0]
+        # element 0 composes from the prior element (F_0 = 0), so it IS the
+        # effective initial distribution at the first observed point
+        ssm_m = StateSpaceModel(
+            c_m[..., 0, :], cholesky_or_zero(q_m[..., 0, :, :]),
+            f_m[..., 1:, :, :], c_m[..., 1:, :],
+            cholesky_or_zero(q_m[..., 1:, :, :]))
+        h = self.emission.emission_matrix
+        h = jnp.broadcast_to(h, h.shape[:-3] + (n,) + h.shape[-2:])
+        h_m = jnp.take(h, idx, axis=-3)
+        return KalmanFilterWithSites(ssm_m, EmissionModel(h_m), self.sites,
+                                     prior_tl=(fc, cc, qc))

@@ -20,8 +20,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["affine_scan", "affine_cov_scan", "scan_tl", "CHUNK",
-           "CHUNK_THRESHOLD"]
+__all__ = ["affine_scan", "affine_cov_scan", "segmented_affine_cov_scan_tl",
+           "scan_tl", "CHUNK", "CHUNK_THRESHOLD"]
 
 
 def _mm(a, b):
@@ -186,3 +186,34 @@ def affine_cov_scan(F: jnp.ndarray, c: jnp.ndarray, Q: jnp.ndarray):
     _, ms, ps = scan_tl(combine, _affine_identity_like, (f_tl, c_tl, q_tl))
     means = jnp.moveaxis(ms[..., 0, :], -1, -2)
     return means, jnp.moveaxis(ps, -1, -3)
+
+
+def segmented_affine_cov_scan_tl(f_tl, c_tl, q_tl, start):
+    """Segment-wise composition of affine-Gaussian maps, time-last layout.
+
+    ``f_tl [..., d, d, N]``, ``c_tl [..., d, 1, N]``, ``q_tl [..., d, d, N]``;
+    ``start [N]`` boolean, True at element ``k`` meaning the composition
+    restarts AT ``k``.  Returns TL arrays ``(F, c, Q)`` where index ``k``
+    holds the composition of elements from its segment's start through ``k``
+    — the standard segmented-scan trick: carrying an or-flag and discarding
+    the left operand when the right one starts a segment keeps the combine
+    associative, so the whole thing is ONE O(log N)-depth prefix scan.
+
+    Used to collapse unobserved grid stretches between sparse observations
+    into single transitions (``KalmanFilterWithSparseSites.condense``).
+    """
+    s_tl = jnp.broadcast_to(
+        start.astype(f_tl.dtype), f_tl.shape[:-3] + (f_tl.shape[-1],)
+    )[..., None, None, :]
+
+    def combine(e1, e2):
+        f1, c1, q1, s1 = e1
+        f2, c2, q2, s2 = e2
+        keep = 1.0 - s2  # e2 starts a segment -> discard the left operand
+        f = _mm(f2, f1) * keep + f2 * s2
+        cc = _mm(f2, c1) * keep + c2
+        q = _mm(f2, _mm(q1, _t(f2))) * keep + q2
+        return f, cc, 0.5 * (q + _t(q)), jnp.maximum(s1, s2)
+
+    res = scan_tl(combine, _affine_identity_like, (f_tl, c_tl, q_tl, s_tl))
+    return res[0], res[1], res[2]
