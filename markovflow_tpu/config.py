@@ -28,6 +28,28 @@ def default_float() -> jnp.dtype:
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
+#: When True, API-boundary *value* checks (time-point sortedness) also run
+#: for accelerator-resident concrete arrays, paying one device->host
+#: readback per check.  Off by default: on the remote-attached (axon) TPU
+#: runtime an eager readback permanently degrades the process's dispatch
+#: latency (measured), so the fast path trusts device arrays.  Enable via
+#: :func:`set_strict_checks` or ``MARKOVFLOW_TPU_STRICT_CHECKS=1`` while
+#: debugging input pipelines.
+import os as _os
+
+_STRICT_CHECKS = _os.environ.get("MARKOVFLOW_TPU_STRICT_CHECKS", "") not in (
+    "", "0", "false", "False")
+
+
+def strict_checks() -> bool:
+    return _STRICT_CHECKS
+
+
+def set_strict_checks(enabled: bool) -> None:
+    global _STRICT_CHECKS
+    _STRICT_CHECKS = bool(enabled)
+
+
 def default_jitter(dtype=None) -> float:
     """Jitter magnitude appropriate for ``dtype`` (or the default float)."""
     dtype = jnp.dtype(dtype or default_float())

@@ -33,16 +33,23 @@ def _on_host_or_cpu(x) -> bool:
 def check_time_points(time_points, name: str = "time_points"):
     """Raise if concrete time points are not non-decreasing.
 
-    Shape checks always run.  The *value* check only runs for host/CPU-backed
-    arrays: on remote-attached accelerators both the device->host pull and
-    any eager device op permanently degrade the process's dispatch latency
-    (measured on the axon TPU tunnel), so accelerator-resident inputs are
-    trusted.
+    Shape checks always run.  The *value* check runs for host/CPU-backed
+    arrays, and — when :func:`markovflow_tpu.config.strict_checks` is on
+    (``MARKOVFLOW_TPU_STRICT_CHECKS=1``) — for accelerator-resident concrete
+    arrays too, paying one device->host readback.  By default accelerator
+    arrays are trusted: on remote-attached accelerators both the
+    device->host pull and any eager device op permanently degrade the
+    process's dispatch latency (measured on the axon TPU tunnel).  Tracer
+    inputs (under ``jit``) are never value-checked — construct models
+    eagerly to get validation.
     """
+    from ..config import strict_checks
+
     if _is_concrete(time_points):
         if jnp.ndim(time_points) < 1:
             raise ValueError(f"{name} must have at least one axis")
-        if jnp.shape(time_points)[-1] > 1 and _on_host_or_cpu(time_points):
+        if jnp.shape(time_points)[-1] > 1 and (
+                strict_checks() or _on_host_or_cpu(time_points)):
             arr = np.asarray(time_points)
             if not np.all(np.diff(arr, axis=-1) >= 0):
                 raise ValueError(
