@@ -88,13 +88,21 @@ class BaseKalmanFilter(Module, abc.ABC):
     (reference: kalman_filter.py:32-272)."""
 
     def __init__(self, state_space_model: StateSpaceModel,
-                 emission_model: EmissionModel, prior_tl=None):
+                 emission_model: EmissionModel, prior_tl=None,
+                 prior_const_tl=None):
         """``prior_tl``: optional (F, c, Q) in time-last layout straight from
         the kernel (kernels.SDEKernel.prior_arrays_tl) — avoids materializing
-        [N, d, d] arrays, which tile-pad catastrophically on TPU."""
+        [N, d, d] arrays, which tile-pad catastrophically on TPU.
+
+        ``prior_const_tl``: optional (Fc, cc, Qc, mu0, P0) CONSTANT prior
+        steps (kernels.StationaryKernel.prior_const_tl) for a uniform time
+        grid with a time-constant emission — enables the uniform fast path
+        in :meth:`log_likelihood` (no [d, d, N] prior array or gradient in
+        HBM; see ops.adjoint.log_likelihood_koopman_uniform)."""
         self.prior_ssm = state_space_model
         self.emission = emission_model
         self.prior_tl = prior_tl
+        self.prior_const_tl = prior_const_tl
 
     @property
     @abc.abstractmethod
@@ -173,6 +181,14 @@ class BaseKalmanFilter(Module, abc.ABC):
                                                   mask=mask, mesh=mesh,
                                                   axis=axis)
         if grad_engine == "koopman":
+            if self.prior_const_tl is not None:
+                from .ops.adjoint import log_likelihood_koopman_uniform
+
+                Fc, cc, Qc, mu0, P0 = self.prior_const_tl
+                hm = self.emission.emission_matrix
+                hc = jnp.moveaxis(hm[..., :1, :, :], -3, -1)  # [..., o, d, 1]
+                return log_likelihood_koopman_uniform(
+                    Fc, cc, Qc, mu0, P0, hc, nu, lam, mask=mask)
             from .ops.adjoint import log_likelihood_koopman
 
             return log_likelihood_koopman(F, c, Q, h, nu, lam, mask=mask)
@@ -220,9 +236,10 @@ class KalmanFilter(BaseKalmanFilter):
     (reference: kalman_filter.py:275-353)."""
 
     def __init__(self, state_space_model, emission_model, observations,
-                 chol_obs_covariance, prior_tl=None):
+                 chol_obs_covariance, prior_tl=None, prior_const_tl=None):
         """observations [..., N, o]; chol_obs_covariance [o, o]."""
-        super().__init__(state_space_model, emission_model, prior_tl)
+        super().__init__(state_space_model, emission_model, prior_tl,
+                         prior_const_tl)
         self.observations = observations
         self.chol_obs_covariance = chol_obs_covariance
 
@@ -259,8 +276,9 @@ class KalmanFilterWithSites(BaseKalmanFilter):
     """Time-varying Gaussian sites (reference: kalman_filter.py:437-497)."""
 
     def __init__(self, state_space_model, emission_model, sites: GaussianSites,
-                 prior_tl=None):
-        super().__init__(state_space_model, emission_model, prior_tl)
+                 prior_tl=None, prior_const_tl=None):
+        super().__init__(state_space_model, emission_model, prior_tl,
+                         prior_const_tl)
         self.sites = sites
 
     @property

@@ -262,6 +262,30 @@ class StationaryKernel(SDEKernel, abc.ABC):
         c_tl = jnp.concatenate([c0, b], axis=-1)[..., :, None, :]
         return f_tl, c_tl, q_tl
 
+    def prior_const_tl(self, dt):
+        """Constant prior-step arrays for a UNIFORM time grid: with one
+        time delta ``dt`` [..., 1], every transition k >= 1 shares
+        (Fc, cc, Qc) and element 0 is the prior (mu0, P0) — the compressed
+        representation consumed by
+        :func:`markovflow_tpu.ops.adjoint.log_likelihood_koopman_uniform`
+        (no [d, d, N] array is ever materialized).
+
+        Returns (Fc [..., d, d, 1], cc [..., d, 1, 1], Qc [..., d, d, 1],
+        mu0 [..., d, 1, 1], P0 [..., d, d, 1]).
+        """
+        a, q = self.transition_statistics_tl(dt)
+        d = self.state_dim
+        m = self.state_mean
+        am = jnp.stack([
+            sum(a[..., i, j, :] * m[..., j, None] for j in range(d))
+            for i in range(d)], axis=-2)
+        cc = (m[..., None] - am)[..., :, None, :]
+        mu0 = jnp.broadcast_to(m[..., None, None],
+                               m.shape[:-1] + (d, 1, 1))
+        p0 = (self.steady_state_covariance
+              + self._jitter * jnp.eye(d, dtype=a.dtype))[..., None]
+        return a, cc, q, mu0, p0
+
 
 class NonStationaryKernel(SDEKernel, abc.ABC):
     """Non-stationary kernels with time-dependent feedback

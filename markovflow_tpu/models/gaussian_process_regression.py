@@ -12,7 +12,7 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 
 from ..kalman_filter import KalmanFilter
-from ..utils.checks import check_time_points
+from ..utils.checks import check_time_points, is_uniform_grid
 from ..kernels import SDEKernel
 from ..likelihoods import Gaussian, MultivariateGaussian
 from ..mean_function import MeanFunction
@@ -55,6 +55,16 @@ class GaussianProcessRegression(MarkovFlowModel):
         self.grad_engine = grad_engine
         self.mesh = mesh
         self.shard_axis = shard_axis
+        # Static flag (part of the jit cache key): detected once from the
+        # CONCRETE time points at construction.  Enables the stationary
+        # uniform-grid fast path — constant prior-step arrays, no [d, d, N]
+        # materialization (see kernels.StationaryKernel.prior_const_tl).
+        # Pass numpy time points to enable it for device-resident workflows;
+        # if you swap in non-uniform time points via .replace(), construct a
+        # fresh model instead (the flag is not re-detected).
+        self._uniform_grid = (
+            is_uniform_grid(self.time_points)
+            and hasattr(kernel, "prior_const_tl") and mesh is None)
 
     def _residual(self):
         """Observations minus the mean function
@@ -73,8 +83,15 @@ class GaussianProcessRegression(MarkovFlowModel):
         prior_tl = None
         if hasattr(self.kernel, "prior_arrays_tl"):
             prior_tl = self.kernel.prior_arrays_tl(self.time_points)
+        prior_const = None
+        if self._uniform_grid:
+            tp = self.time_points
+            n = tp.shape[-1]
+            dt = (tp[..., -1:] - tp[..., :1]) / (n - 1)
+            prior_const = self.kernel.prior_const_tl(dt)
         return KalmanFilter(ssm, emission, self._residual(),
-                            self.chol_obs_covariance, prior_tl=prior_tl)
+                            self.chol_obs_covariance, prior_tl=prior_tl,
+                            prior_const_tl=prior_const)
 
     def log_likelihood(self) -> jnp.ndarray:
         """log p(Y) (reference: gaussian_process_regression.py:152-160)."""

@@ -24,7 +24,7 @@ from ..mean_function import MeanFunction
 from ..posterior import AnalyticPosteriorProcess
 from ..ssm_gaussian_transformations import naturals_to_ssm
 from ..state_space_model import StateSpaceModel
-from ..utils.checks import check_time_points
+from ..utils.checks import check_time_points, is_uniform_grid
 from .models import MarkovFlowModel
 
 __all__ = [
@@ -81,6 +81,12 @@ class GaussianProcessWithSitesBase(MarkovFlowModel):
             sites = UnivariateGaussianSitesNat(nat1, nat2)
         self.sites = sites
         self.grad_engine = grad_engine
+        # Static flag: stationary uniform-grid fast path (constant prior
+        # steps, per-step sites; see GaussianProcessRegression for the
+        # detection contract — pass numpy time points to enable on device).
+        self._uniform_grid = (
+            is_uniform_grid(self.time_points)
+            and hasattr(kernel, "prior_const_tl"))
 
     @property
     def dist_p(self) -> StateSpaceModel:
@@ -122,8 +128,14 @@ class GaussianProcessWithSitesBase(MarkovFlowModel):
         prior_tl = None
         if hasattr(self.kernel, "prior_arrays_tl"):
             prior_tl = self.kernel.prior_arrays_tl(self.time_points)
+        prior_const = None
+        if self._uniform_grid:
+            tp = self.time_points
+            dt = (tp[..., -1:] - tp[..., :1]) / (tp.shape[-1] - 1)
+            prior_const = self.kernel.prior_const_tl(dt)
         return KalmanFilterWithSites(self.dist_p, self.emission, self.sites,
-                                     prior_tl=prior_tl)
+                                     prior_tl=prior_tl,
+                                     prior_const_tl=prior_const)
 
     def log_likelihood(self) -> jnp.ndarray:
         return self.posterior_kalman.log_likelihood(

@@ -62,7 +62,7 @@ from .kalman import (_eye_tl, _inv_tl, _mm_tl, _sym_tl, _t_tl,
 from .pallas_scan import pick_scan_engine
 from .scans import scan_tl
 
-__all__ = ["log_likelihood_koopman"]
+__all__ = ["log_likelihood_koopman", "log_likelihood_koopman_uniform"]
 
 
 def adjoint_scan_elements(F, c, Q, H, nu, lam, m_prev, p_prev, f_next):
@@ -177,6 +177,125 @@ def _make(engine: str):
 
 _LL_XLA = _make("xla")
 _LL_PALLAS = _make("pallas")
+
+
+# --------------------------------------------------------------------------
+# Uniform-grid (stationary) fast path: constant prior-step arrays never
+# materialize as [d, d, N]; their gradients come back as broadcast-VJP sums.
+# --------------------------------------------------------------------------
+def _materialize_uniform(Fc, cc, Qc, mu0, P0, Hc, n):
+    """Expand the constant representation to full TL arrays (XLA fallback /
+    oracle): F = [0, Fc, Fc, ...], c = [mu0, cc, ...], Q = [P0, Qc, ...],
+    H broadcast to all N steps."""
+    rep = lambda x: jnp.broadcast_to(x, x.shape[:-1] + (n - 1,))
+    F = jnp.concatenate([jnp.zeros_like(Fc), rep(Fc)], axis=-1)
+    c = jnp.concatenate([mu0, rep(cc)], axis=-1)
+    Q = jnp.concatenate([P0, rep(Qc)], axis=-1)
+    H = jnp.broadcast_to(Hc, Hc.shape[:-1] + (n,))
+    return F, c, Q, H
+
+
+def _uniform_engine(Fc, lam, engine):
+    """Pallas eligibility for the uniform kernels (mirrors
+    pick_scan_engine: batched, d <= 6, o <= 6, float32, TPU backend)."""
+    if engine != "pallas":
+        return "xla"
+    if Fc.shape[-3] > 6 or Fc.dtype != jnp.float32:
+        return "xla"
+    if lam.shape[-3] > 6 or lam.dtype != jnp.float32:
+        return "xla"
+    if jax.default_backend() != "tpu":
+        return "xla"
+    return "pallas"
+
+
+def _make_uniform(engine: str):
+    @jax.custom_vjp
+    def ll(Fc, cc, Qc, mu0, P0, Hc, nu, lam, maskf):
+        return fwd(Fc, cc, Qc, mu0, P0, Hc, nu, lam, maskf)[0]
+
+    def fwd(Fc, cc, Qc, mu0, P0, Hc, nu, lam, maskf):
+        eng = _uniform_engine(Fc, lam, engine)
+        if eng == "pallas":
+            from .pallas_scan import pallas_filter_pipeline_uniform
+
+            m_f, p_f, out = pallas_filter_pipeline_uniform(
+                Fc, cc, Qc, mu0, P0, Hc, nu, lam, maskf)
+        else:
+            F, c, Q, H = _materialize_uniform(Fc, cc, Qc, mu0, P0, Hc,
+                                              nu.shape[-1])
+            m_f, p_f, out = filter_pipeline_tl(F, c, Q, H, nu, lam,
+                                               maskf[..., 0, 0, :] > 0.5)
+        return out, (Fc, cc, Qc, mu0, P0, Hc, nu, lam, maskf, m_f, p_f)
+
+    def bwd(res, g):
+        Fc, cc, Qc, mu0, P0, Hc, nu, lam, maskf, m_f, p_f = res
+        eng = _uniform_engine(Fc, lam, engine)
+        if eng == "pallas":
+            from .pallas_scan import pallas_adjoint_pipeline_uniform
+
+            (gFc, gcc, gQc, gmu0, gP0, gHc, gnu,
+             glam) = pallas_adjoint_pipeline_uniform(
+                Fc, cc, Qc, mu0, P0, Hc, nu, lam, maskf, m_f, p_f, g)
+        else:
+            F, c, Q, H = _materialize_uniform(Fc, cc, Qc, mu0, P0, Hc,
+                                              nu.shape[-1])
+            g_f, g_c, g_q, g_h, g_nu, g_lam = _adjoint_grads(
+                F, c, Q, H, nu, lam, maskf[..., 0, 0, :], m_f, p_f,
+                engine="xla")
+            gg = g[..., None, None, None]
+            red = lambda x: jnp.sum(gg * x, axis=-1, keepdims=True)
+            gFc = red(g_f[..., 1:])
+            gcc = red(g_c[..., 1:])
+            gQc = red(g_q[..., 1:])
+            gmu0 = gg * g_c[..., :1]
+            gP0 = gg * g_q[..., :1]
+            gHc = red(g_h)
+            gnu = gg * g_nu
+            glam = gg * g_lam
+        return (gFc, gcc, gQc, gmu0, gP0, gHc, gnu, glam,
+                jnp.zeros_like(maskf))
+
+    ll.defvjp(fwd, bwd)
+    return ll
+
+
+_LL_UNI_XLA = _make_uniform("xla")
+_LL_UNI_PALLAS = _make_uniform("pallas")
+
+
+def log_likelihood_koopman_uniform(Fc, cc, Qc, mu0, P0, Hc, nu, lam,
+                                   mask=None, engine: str = "pallas"):
+    """Uniform-grid site-form log marginal likelihood with the Koopman VJP.
+
+    The prior steps enter in CONSTANT form — Fc [..., d, d, 1],
+    cc [..., d, 1, 1], Qc [..., d, d, 1] for every k >= 1, prior
+    (mu0 [..., d, 1, 1], P0 [..., d, d, 1]) at element 0, constant emission
+    Hc [..., o, d, 1] — so no [d, d, N] array is ever materialized; sites
+    (nu [..., o, 1, N], lam [..., o, o, N or 1], mask [..., N]) stay
+    per-step.  Value and gradients equal :func:`log_likelihood_koopman` on
+    the materialized arrays (the constant-input gradients are the broadcast
+    sums).  TPU-ineligible requests fall back to the XLA scans on the
+    materialized arrays.
+    """
+    n = nu.shape[-1]
+    lead = jnp.broadcast_shapes(nu.shape[:-3], lam.shape[:-3],
+                                Fc.shape[:-3], cc.shape[:-3], Qc.shape[:-3],
+                                mu0.shape[:-3], P0.shape[:-3], Hc.shape[:-3])
+    d = Fc.shape[-2]
+    o = lam.shape[-3]
+    bcc = lambda x, d1, d2: jnp.broadcast_to(x, lead + (d1, d2, 1))
+    Fc, cc, Qc = bcc(Fc, d, d), bcc(cc, d, 1), bcc(Qc, d, d)
+    mu0, P0, Hc = bcc(mu0, d, 1), bcc(P0, d, d), bcc(Hc, o, d)
+    nu = jnp.broadcast_to(nu, lead + (o, 1, n))
+    lam = jnp.broadcast_to(lam, lead + (o, o, n))
+    if mask is None:
+        maskf = jnp.ones(lead + (1, 1, n), nu.dtype)
+    else:
+        maskf = jnp.broadcast_to(mask[..., None, None, :],
+                                 lead + (1, 1, n)).astype(nu.dtype)
+    fn = _LL_UNI_PALLAS if engine == "pallas" else _LL_UNI_XLA
+    return fn(Fc, cc, Qc, mu0, P0, Hc, nu, lam, maskf)
 
 
 def log_likelihood_koopman(F, c, Q, H, nu, lam, mask=None,

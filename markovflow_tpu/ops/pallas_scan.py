@@ -158,13 +158,22 @@ def _sym(a):
     return 0.5 * (a + _t(a))
 
 
+def _eye(d, like):
+    """Identity matrix shaped [d, d] + (1,)*trailing, broadcastable against
+    ``like`` ([d, d, L] slices and [d, d, R, L] full blocks alike)."""
+    return jnp.eye(d, dtype=like.dtype).reshape((d, d) + (1,) * (like.ndim - 2))
+
+
 def _make_elem_slice(f, cv, q, h, nu, lam):
-    """Filter element from one (r)-slice of the raw inputs — the in-kernel
-    version of kalman.make_filter_elements_tl (shapes [dim1, dim2, L])."""
+    """Filter element from the raw inputs — the in-kernel version of
+    kalman.make_filter_elements_tl.  Pure elementwise over every axis past
+    the first two, so it accepts [dim1, dim2, L] single-r slices and
+    [dim1, dim2, R, L] full blocks alike (full blocks tile the (8, 128)
+    VPU grid completely; single-r slices waste 5/8 sublanes at d = 3)."""
     d = f.shape[0]
     o = lam.shape[0]
-    eye_o = jnp.eye(o, dtype=f.dtype)[..., None]
-    eye_d = jnp.eye(d, dtype=f.dtype)[..., None]
+    eye_o = _eye(o, f)
+    eye_d = _eye(d, f)
     qht = _mm(q, _t(h))
     hqht = _mm(h, qht)
     z = _inv(eye_o + _mm(hqht, lam))
@@ -185,19 +194,20 @@ def _make_elem_slice(f, cv, q, h, nu, lam):
 def _ll_slice(f, cv, q, h, nu, lam, maskf, pm, pp):
     """Per-element site log-likelihood given the previous filtered moments
     (pm, pp) — the in-kernel version of the lam-form likelihood in
-    kalman.filter_pipeline_tl.  Returns [L]."""
+    kalman.filter_pipeline_tl.  Elementwise past the first two axes
+    (accepts [*, *, L] slices and [*, *, R, L] blocks); returns [L] / [R, L]."""
     o = lam.shape[0]
-    eye_o = jnp.eye(o, dtype=f.dtype)[..., None]
+    eye_o = _eye(o, f)
     m_pred = _mm(f, pm) + cv
     p_pred = _sym(_mm(f, _mm(pp, _t(f))) + q)
     hm = _mm(h, m_pred)
     hpht = _mm(h, _mm(p_pred, _t(h)))
     w = nu - _mm(lam, hm)
-    keep = maskf > 0.5                               # [1, 1, L]
+    keep = maskf > 0.5                               # [1, 1, (R,) L]
     m_mat = jnp.where(keep, lam + _mm(lam, _mm(hpht, lam)), eye_o)
     lam_safe = jnp.where(keep, lam, eye_o)
     sol = _mm(_inv(m_mat), w)
-    quad = jnp.sum(w * sol, axis=(0, 1))             # [L]
+    quad = jnp.sum(w * sol, axis=(0, 1))             # [(R,) L]
     log_det_s = jnp.log(jnp.abs(_det(eye_o + _mm(hpht, lam_safe)))) - \
         jnp.log(jnp.abs(_det(lam_safe)))
     ll = -0.5 * (quad + log_det_s
@@ -206,11 +216,13 @@ def _ll_slice(f, cv, q, h, nu, lam, maskf, pm, pp):
 
 
 def _combine(x, y):
-    """x (earlier) (x) y (later) — filtering composition, [d, *, L] leaves."""
+    """x (earlier) (x) y (later) — filtering composition.  Elementwise past
+    the first two axes ([d, *, L] slices or [d, *, R, L] blocks; legs may
+    broadcast against each other)."""
     xa, xb, xc, xj, xe = x
     ya, yb, yc, yj, ye = y
     d = xa.shape[0]
-    eye = jnp.eye(d, dtype=xa.dtype)[..., None]
+    eye = _eye(d, xa)
     m_inv = _inv(eye + _mm(xc, yj))
     m_inv_t = _t(m_inv)
     a = _mm(ya, _mm(m_inv, xa))
@@ -311,11 +323,13 @@ def _filter_kernel(a_ref, b_ref, c_ref, j_ref, e_ref, mb_ref, pc_ref,
                         for cc, x in zip(carry, excl))
     exc = _combine(carry_bcast, excl)
 
-    # 3. fold the exclusive prefix into each within-block prefix
-    for r in range(r_blk):
-        out_r = _combine(exc, pref[r])
-        mb_ref[0, :, :, r, :] = out_r[1]
-        pc_ref[0, :, :, r, :] = out_r[2]
+    # 3. fold the exclusive prefix into all within-block prefixes at once
+    pref_blk = tuple(jnp.stack([p[i] for p in pref], axis=2)
+                     for i in range(5))
+    exc_b = tuple(x[:, :, None, :] for x in exc)
+    out_blk = _combine(exc_b, pref_blk)
+    mb_ref[0] = out_blk[1]
+    pc_ref[0] = out_blk[2]
 
     # 4. new carry: the full prefix at the last element of the chunk
     exc_last = tuple(x[..., -1:] for x in exc)
@@ -353,18 +367,21 @@ def _pipeline_kernel(f_ref, c_ref, q_ref, h_ref, nu_ref, lam_ref, mk_ref,
         carry_e[...] = ident[4]
         ll_ref[0, 0] = jnp.zeros((), dtype)
 
-    def raw(r):
-        return (f_ref[0, :, :, r, :], c_ref[0, :, :, r, :],
-                q_ref[0, :, :, r, :], h_ref[0, :, :, r, :],
-                nu_ref[0, :, :, r, :], lam_ref[0, :, :, r, :],
-                mk_ref[0, :, :, r, :])
+    fb, cb, qb, hb, nub, lamb, mkb = (f_ref[0], c_ref[0], q_ref[0],
+                                      h_ref[0], nu_ref[0], lam_ref[0],
+                                      mk_ref[0])
+    # element construction on the full [*, *, R, L] block — tiles the
+    # (8, 128) VPU grid completely (per-r [*, *, L] slices waste 5/8
+    # sublanes at d = 3; measured: the fused kernels were elementwise-bound)
+    eblk = _make_elem_slice(fb, cb, qb, hb, nub, lamb)
 
-    elems = [_make_elem_slice(*raw(r)[:-1]) for r in range(r_blk)]
+    def elem(r):
+        return tuple(x[:, :, r, :] for x in eblk)
 
     # 1. within-block sequential prefixes
-    pref = [elems[0]]
+    pref = [elem(0)]
     for r in range(1, r_blk):
-        pref.append(_combine(pref[-1], elems[r]))
+        pref.append(_combine(pref[-1], elem(r)))
 
     # 2. Hillis-Steele over the block totals
     ident = _identity_elem(d, db, lanes, dtype)
@@ -388,26 +405,31 @@ def _pipeline_kernel(f_ref, c_ref, q_ref, h_ref, nu_ref, lam_ref, mk_ref,
                         for cc, x in zip(carry, excl))
     exc = _combine(carry_bcast, excl)
 
-    # 3. filtered moments per r + likelihood with the previous filtered state
-    outs = [_combine(exc, pref[r]) for r in range(r_blk)]
+    # 3. filtered moments + likelihood, one block combine (full VPU tiles):
+    # stack the within-block prefixes along r, broadcast exc over r
+    pref_blk = tuple(jnp.stack([p[i] for p in pref], axis=2)
+                     for i in range(5))
+    exc_b = tuple(x[:, :, None, :] for x in exc)
+    out_blk = _combine(exc_b, pref_blk)
+    outs_m, outs_p = out_blk[1], out_blk[2]           # [d, 1/d, R, L]
     # previous filtered state for r = 0: last row of the previous lane,
     # lane 0 taken from the cross-chunk carry (b/C of the carry element)
-    last_m = pltpu.roll(outs[r_blk - 1][1], 1, 2)
-    last_p = pltpu.roll(outs[r_blk - 1][2], 1, 2)
+    last_m = pltpu.roll(outs_m[:, :, -1, :], 1, 2)
+    last_p = pltpu.roll(outs_p[:, :, -1, :], 1, 2)
     lane0 = lane_b[:1] < 1                           # [1, db, lanes]
     prev_m0 = jnp.where(lane0, jnp.broadcast_to(carry[1], last_m.shape),
                         last_m)
     prev_p0 = jnp.where(lane[:1] < 1,
                         jnp.broadcast_to(carry[2], last_p.shape), last_p)
-    ll_acc = jnp.zeros((lanes,), dtype)
-    for r in range(r_blk):
-        pm = prev_m0 if r == 0 else outs[r - 1][1]
-        pp = prev_p0 if r == 0 else outs[r - 1][2]
-        f, cv, q, h, nu, lam, mk = raw(r)
-        ll_acc = ll_acc + _ll_slice(f, cv, q, h, nu, lam, mk, pm, pp)
-        mb_ref[0, :, :, r, :] = outs[r][1]
-        pc_ref[0, :, :, r, :] = outs[r][2]
-    ll_ref[0, 0] += jnp.sum(ll_acc)
+    prev_m = jnp.concatenate([prev_m0[:, :, None, :], outs_m[:, :, :-1, :]],
+                             axis=2)
+    prev_p = jnp.concatenate([prev_p0[:, :, None, :], outs_p[:, :, :-1, :]],
+                             axis=2)
+    # likelihood on the full block (one call, full VPU tiles)
+    ll_blk = _ll_slice(fb, cb, qb, hb, nub, lamb, mkb, prev_m, prev_p)
+    mb_ref[0] = outs_m
+    pc_ref[0] = outs_p
+    ll_ref[0, 0] += jnp.sum(ll_blk)
 
     # 4. new carry
     exc_last = tuple(x[..., -1:] for x in exc)
@@ -467,11 +489,12 @@ def _smoother_kernel(e_ref, g_ref, l_ref, mg_ref, pl_ref,
                         for cc, x in zip(carry, excl))
     exc = _combine_smoother(carry_bcast, excl)
 
-    # 3. fold the exclusive suffix into each within-block suffix
-    for r in range(r_blk):
-        out_r = _combine_smoother(exc, suf[r])
-        mg_ref[0, :, :, r, :] = out_r[1]
-        pl_ref[0, :, :, r, :] = out_r[2]
+    # 3. fold the exclusive suffix into all within-block suffixes at once
+    suf_blk = tuple(jnp.stack([s[i] for s in suf], axis=2) for i in range(3))
+    exc_b = tuple(x[:, :, None, :] for x in exc)
+    out_blk = _combine_smoother(exc_b, suf_blk)
+    mg_ref[0] = out_blk[1]
+    pl_ref[0] = out_blk[2]
 
     # 4. new carry: the full suffix at the first element of the chunk
     exc_first = tuple(x[..., :1] for x in exc)
@@ -483,13 +506,14 @@ def _smoother_kernel(e_ref, g_ref, l_ref, mg_ref, pl_ref,
 
 
 def _adjoint_elem_slice(f, cv, q, h, nu, lam, f_next, pm, pp_prev):
-    """Stage 1 of the Koopman adjoint for one (r)-slice (in-kernel version
-    of ops.adjoint.adjoint_scan_elements).  Returns
+    """Stage 1 of the Koopman adjoint (in-kernel version of
+    ops.adjoint.adjoint_scan_elements).  Elementwise past the first two
+    axes — accepts [*, *, L] slices and [*, *, R, L] blocks.  Returns
     (a, pp, l_mat, g_elem, v_elem)."""
     d = f.shape[0]
     o = lam.shape[0]
-    eye_o = jnp.eye(o, dtype=f.dtype)[..., None]
-    eye_d = jnp.eye(d, dtype=f.dtype)[..., None]
+    eye_o = _eye(o, f)
+    eye_d = _eye(d, f)
     a = _mm(f, pm) + cv
     pp = _sym(_mm(f, _mm(pp_prev, _t(f))) + q)
     hpht = _mm(h, _mm(pp, _t(h)))
@@ -504,10 +528,11 @@ def _adjoint_elem_slice(f, cv, q, h, nu, lam, f_next, pm, pp_prev):
 
 
 def _adjoint_grads_slice(f, h, nu, lam, mk, pm, pp_prev, a, pp, r, ndk):
-    """Stage 2: the six gradients for one (r)-slice (in-kernel version of
-    ops.adjoint.adjoint_grads_from_scan)."""
+    """Stage 2: the six gradients (in-kernel version of
+    ops.adjoint.adjoint_grads_from_scan).  Elementwise past the first two
+    axes — accepts [*, *, L] slices and [*, *, R, L] blocks."""
     o = lam.shape[0]
-    eye_o = jnp.eye(o, dtype=f.dtype)[..., None]
+    eye_o = _eye(o, f)
     n_mat = 0.5 * (_mm(r, _t(r)) - ndk)
     g_q = n_mat
     g_c = r
@@ -548,26 +573,23 @@ def _adjoint_kernel(f_ref, c_ref, q_ref, h_ref, nu_ref, lam_ref, mk_ref,
         carry_g[...] = ident[1]
         carry_l[...] = ident[2]
 
-    def raw(r):
-        return (f_ref[0, :, :, r, :], c_ref[0, :, :, r, :],
-                q_ref[0, :, :, r, :], h_ref[0, :, :, r, :],
-                nu_ref[0, :, :, r, :], lam_ref[0, :, :, r, :],
-                mk_ref[0, :, :, r, :], mp_ref[0, :, :, r, :],
-                pp_ref[0, :, :, r, :], fn_ref[0, :, :, r, :])
+    fb, cb, qb, hb, nub, lamb, mkb, mpb, ppb, fnb = (
+        f_ref[0], c_ref[0], q_ref[0], h_ref[0], nu_ref[0], lam_ref[0],
+        mk_ref[0], mp_ref[0], pp_ref[0], fn_ref[0])
+    # stage 1 on the full [*, *, R, L] block (full VPU tiles; per-r slices
+    # waste 5/8 sublanes at d = 3 — the reason the fused kernel originally
+    # measured slower than the split XLA-elementwise form)
+    a_blk, pp_blk, l_blk, g_blk, v_blk = _adjoint_elem_slice(
+        fb, cb, qb, hb, nub, lamb, fnb, mpb, ppb)
+    lt_blk = _t(l_blk)
 
-    stage1 = []
-    elems = []
-    for r in range(r_blk):
-        f, cv, q, h, nu, lam, mk, pm, ppv, fnx = raw(r)
-        a, pp, l_mat, g_elem, v_elem = _adjoint_elem_slice(
-            f, cv, q, h, nu, lam, fnx, pm, ppv)
-        stage1.append((a, pp))
-        elems.append((_t(l_mat), g_elem, v_elem))
+    def elem(r):
+        return (lt_blk[:, :, r, :], g_blk[:, :, r, :], v_blk[:, :, r, :])
 
     # reverse suffix scan over the chunk (as in _smoother_kernel)
-    suf = [elems[r_blk - 1]]
+    suf = [elem(r_blk - 1)]
     for r in range(r_blk - 2, -1, -1):
-        suf.append(_combine_smoother(suf[-1], elems[r]))
+        suf.append(_combine_smoother(suf[-1], elem(r)))
     suf = suf[::-1]
     ident = _smoother_identity(d, 1, lanes, dtype)
     lane = jax.lax.broadcasted_iota(jnp.int32, (d, d, lanes), dimension=2)
@@ -590,19 +612,19 @@ def _adjoint_kernel(f_ref, c_ref, q_ref, h_ref, nu_ref, lam_ref, mk_ref,
     exc = _combine_smoother(carry_bcast, excl)
 
     gs = gs_ref[0, 0]
-    for r in range(r_blk):
-        out_r = _combine_smoother(exc, suf[r])
-        rr, ndk = out_r[1], out_r[2]
-        f, cv, q, h, nu, lam, mk, pm, ppv, fnx = raw(r)
-        a, pp = stage1[r]
-        g_f, g_c, g_q, g_h, g_nu, g_lam = _adjoint_grads_slice(
-            f, h, nu, lam, mk, pm, ppv, a, pp, rr, ndk)
-        gf_ref[0, :, :, r, :] = gs * g_f
-        gc_ref[0, :, :, r, :] = gs * g_c
-        gq_ref[0, :, :, r, :] = gs * g_q
-        gh_ref[0, :, :, r, :] = gs * g_h
-        gnu_ref[0, :, :, r, :] = gs * g_nu
-        glam_ref[0, :, :, r, :] = gs * g_lam
+    suf_blk = tuple(jnp.stack([s[i] for s in suf], axis=2) for i in range(3))
+    exc_b = tuple(x[:, :, None, :] for x in exc)
+    out_blk = _combine_smoother(exc_b, suf_blk)
+    r_stack, ndk_stack = out_blk[1], out_blk[2]        # [d, 1/d, R, L]
+    # stage 2 on the full block (one call, full VPU tiles)
+    g_f, g_c, g_q, g_h, g_nu, g_lam = _adjoint_grads_slice(
+        fb, hb, nub, lamb, mkb, mpb, ppb, a_blk, pp_blk, r_stack, ndk_stack)
+    gf_ref[0] = gs * g_f
+    gc_ref[0] = gs * g_c
+    gq_ref[0] = gs * g_q
+    gh_ref[0] = gs * g_h
+    gnu_ref[0] = gs * g_nu
+    glam_ref[0] = gs * g_lam
 
     exc_first = tuple(x[..., :1] for x in exc)
     suf_first = tuple(x[..., :1] for x in suf[0])
@@ -826,6 +848,395 @@ def pallas_filter_pipeline(F, c, Q, H, nu, lam, maskf=None, *,
     return (m_f[..., :n].reshape(lead + (d, 1, n)),
             p_f[..., :n].reshape(lead + (d, d, n)),
             out[2][:, 0].reshape(lead))
+
+
+# --------------------------------------------------------------------------
+# Uniform-grid (stationary) fast path.
+#
+# On a uniform time grid with a stationary kernel, the prior-step arrays are
+# constant across time: F_k = A(dt), c_k = (I - A) m, Q_k = Q(dt) for every
+# k >= 1, with element 0 encoding the prior (F_0 = 0, c_0 = mu0, Q_0 = P0),
+# and the emission H is constant.  The d^2-sized [d, d, N] arrays (~36 MB
+# each at T = 1e6, d = 3) dominate the fused kernels' HBM traffic; here they
+# enter as [d, d, 1] constants broadcast in VMEM, and the backward kernel
+# accumulates their (broadcast-VJP) gradient SUMS in VMEM so no d^2-sized
+# gradient array ever touches HBM.  Sites (nu, lam, mask) stay per-step —
+# they are o^2-sized (tiny for o = 1) and genuinely data-dependent — so the
+# same kernels serve GPR (constant lam), CVI/PEP sites, and sparse masks.
+# --------------------------------------------------------------------------
+def _uniform_pipeline_kernel(fc_ref, cc_ref, qc_ref, m0_ref, p0_ref, h_ref,
+                             nu_ref, lam_ref, mk_ref,
+                             mb_ref, pc_ref, ll_ref,
+                             carry_a, carry_b, carry_c, carry_j, carry_e,
+                             *, r_blk, lanes):
+    """Fused forward pipeline with constant (F, c, Q, H): the prior-step
+    constants are broadcast in VMEM; element 0 (the prior) is substituted
+    in-register via the global-index mask.  Tail padding is handled on the
+    XLA side with (nu = 0, lam = 0, mask = 0) steps — a site-free prediction
+    step is a valid element whose prefix leaves earlier results unchanged."""
+    d = fc_ref.shape[1]
+    dtype = fc_ref.dtype
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        ident = _identity_elem(d, 1, 1, dtype)
+        carry_a[...] = ident[0]
+        carry_b[...] = ident[1]
+        carry_c[...] = ident[2]
+        carry_j[...] = ident[3]
+        carry_e[...] = ident[4]
+        ll_ref[0, 0] = jnp.zeros((), dtype)
+
+    c4 = lambda ref: ref[0]                           # [d1, d2, 1, 1]
+    fc, ccst, qc = c4(fc_ref), c4(cc_ref), c4(qc_ref)
+    m0, p0, hb = c4(m0_ref), c4(p0_ref), c4(h_ref)
+    nub, lamb, mkb = nu_ref[0], lam_ref[0], mk_ref[0]  # [o, *, R, L]
+
+    rl = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, r_blk, lanes), 3)
+          * r_blk
+          + jax.lax.broadcasted_iota(jnp.int32, (1, 1, r_blk, lanes), 2))
+    first = (i == 0) & (rl == 0)                      # global element 0
+    zero = jnp.zeros((), dtype)
+    f_in = jnp.where(first, zero, fc)
+    c_in = jnp.where(first, m0, ccst)
+    q_in = jnp.where(first, p0, qc)
+
+    eblk = _make_elem_slice(f_in, c_in, q_in, hb, nub, lamb)
+
+    def elem(r):
+        return tuple(x[:, :, r, :] for x in eblk)
+
+    # 1. within-block sequential prefixes
+    pref = [elem(0)]
+    for r in range(1, r_blk):
+        pref.append(_combine(pref[-1], elem(r)))
+
+    # 2. Hillis-Steele over the block totals
+    db = 1
+    ident = _identity_elem(d, db, lanes, dtype)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (d, d, lanes), dimension=2)
+    lane_b = jax.lax.broadcasted_iota(jnp.int32, (d, db, lanes), dimension=2)
+    masks = (lane, lane_b, lane, lane, lane_b)
+    tot = pref[-1]
+    k = 1
+    while k < lanes:
+        shifted = tuple(pltpu.roll(t, k, 2) for t in tot)
+        shifted = tuple(jnp.where(m < k, idl, s)
+                        for m, idl, s in zip(masks, ident, shifted))
+        tot = _combine(shifted, tot)
+        k *= 2
+    excl = tuple(pltpu.roll(t, 1, 2) for t in tot)
+    excl = tuple(jnp.where(m < 1, idl, s)
+                 for m, idl, s in zip(masks, ident, excl))
+    carry = (carry_a[...], carry_b[...], carry_c[...], carry_j[...],
+             carry_e[...])
+    carry_bcast = tuple(jnp.broadcast_to(cc, x.shape)
+                        for cc, x in zip(carry, excl))
+    exc = _combine(carry_bcast, excl)
+
+    # 3. filtered moments + likelihood, one block combine
+    pref_blk = tuple(jnp.stack([p[j] for p in pref], axis=2)
+                     for j in range(5))
+    exc_b = tuple(x[:, :, None, :] for x in exc)
+    out_blk = _combine(exc_b, pref_blk)
+    outs_m, outs_p = out_blk[1], out_blk[2]
+    last_m = pltpu.roll(outs_m[:, :, -1, :], 1, 2)
+    last_p = pltpu.roll(outs_p[:, :, -1, :], 1, 2)
+    lane0 = lane_b[:1] < 1
+    prev_m0 = jnp.where(lane0, jnp.broadcast_to(carry[1], last_m.shape),
+                        last_m)
+    prev_p0 = jnp.where(lane[:1] < 1,
+                        jnp.broadcast_to(carry[2], last_p.shape), last_p)
+    prev_m = jnp.concatenate([prev_m0[:, :, None, :], outs_m[:, :, :-1, :]],
+                             axis=2)
+    prev_p = jnp.concatenate([prev_p0[:, :, None, :], outs_p[:, :, :-1, :]],
+                             axis=2)
+    ll_blk = _ll_slice(f_in, c_in, q_in, hb, nub, lamb, mkb, prev_m, prev_p)
+    mb_ref[0] = outs_m
+    pc_ref[0] = outs_p
+    ll_ref[0, 0] += jnp.sum(ll_blk)
+
+    # 4. new carry
+    exc_last = tuple(x[..., -1:] for x in exc)
+    pref_last = tuple(x[..., -1:] for x in pref[-1])
+    new_carry = _combine(exc_last, pref_last)
+    carry_a[...] = new_carry[0]
+    carry_b[...] = new_carry[1]
+    carry_c[...] = new_carry[2]
+    carry_j[...] = new_carry[3]
+    carry_e[...] = new_carry[4]
+
+
+def pallas_filter_pipeline_uniform(Fc, cc, Qc, mu0, P0, Hc, nu, lam,
+                                   maskf=None, *, chunk: int = PALLAS_CHUNK,
+                                   r_blk: int = None,
+                                   interpret: bool = False):
+    """Fused forward pipeline for a uniform grid: constant prior steps
+    (Fc, cc, Qc [..., d, d/1, 1]), prior (mu0 [..., d, 1, 1],
+    P0 [..., d, d, 1]), constant emission Hc [..., o, d, 1]; per-step sites
+    nu [..., o, 1, N], lam [..., o, o, N], optional maskf [..., 1, 1, N].
+    Returns (m_f, p_f, loglik) exactly as :func:`pallas_filter_pipeline`
+    on the materialized arrays."""
+    lead = nu.shape[:-3]
+    n = nu.shape[-1]
+    d = Fc.shape[-3]
+    o = lam.shape[-3]
+    if maskf is None:
+        maskf = jnp.ones(lead + (1, 1, n), nu.dtype)
+    bc = lambda x, d1, d2: jnp.broadcast_to(
+        x, lead + (d1, d2, 1)).reshape((-1, d1, d2, 1, 1))
+    fc = bc(Fc, d, d)
+    ccst = bc(cc, d, 1)
+    qc = bc(Qc, d, d)
+    m0 = bc(mu0, d, 1)
+    p0 = bc(P0, d, d)
+    hc = bc(Hc, o, d)
+    flat = lambda x: x.reshape((-1,) + x.shape[-3:])
+    nu, lam, maskf = flat(nu), flat(lam), flat(maskf)
+    bdim = nu.shape[0]
+    r_blk, lanes = _split_chunk(chunk, r_blk)
+    num_chunks = -(-n // chunk)
+    pad = num_chunks * chunk - n
+    if pad:
+        zpad = lambda x: jnp.concatenate(
+            [x, jnp.zeros(x.shape[:-1] + (pad,), x.dtype)], axis=-1)
+        nu, lam, maskf = zpad(nu), zpad(lam), zpad(maskf)
+    blk = functools.partial(_to_blocked, r_blk=r_blk)
+    nu, lam, maskf = blk(nu), blk(lam), blk(maskf)
+
+    cspec = lambda d1, d2: pl.BlockSpec((1, d1, d2, 1, 1),
+                                        lambda bi, i: (bi, 0, 0, 0, 0),
+                                        memory_space=pltpu.VMEM)
+    idx = lambda bi, i: (bi, 0, 0, 0, i)
+    spec = lambda d1, d2: pl.BlockSpec((1, d1, d2, r_blk, lanes), idx,
+                                       memory_space=pltpu.VMEM)
+    nb_tot = num_chunks * lanes
+    out = pl.pallas_call(
+        functools.partial(_uniform_pipeline_kernel, r_blk=r_blk,
+                          lanes=lanes),
+        grid=(bdim, num_chunks),
+        in_specs=[cspec(d, d), cspec(d, 1), cspec(d, d), cspec(d, 1),
+                  cspec(d, d), cspec(o, d),
+                  spec(o, 1), spec(o, o), spec(1, 1)],
+        out_specs=(spec(d, 1), spec(d, d),
+                   pl.BlockSpec((1, 1), lambda bi, i: (bi, 0),
+                                memory_space=pltpu.SMEM)),
+        out_shape=(
+            jax.ShapeDtypeStruct((bdim, d, 1, r_blk, nb_tot), nu.dtype),
+            jax.ShapeDtypeStruct((bdim, d, d, r_blk, nb_tot), nu.dtype),
+            jax.ShapeDtypeStruct((bdim, 1), nu.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((d, d, 1), nu.dtype),
+            pltpu.VMEM((d, 1, 1), nu.dtype),
+            pltpu.VMEM((d, d, 1), nu.dtype),
+            pltpu.VMEM((d, d, 1), nu.dtype),
+            pltpu.VMEM((d, 1, 1), nu.dtype),
+        ],
+        interpret=interpret,
+    )(fc, ccst, qc, m0, p0, hc, nu, lam, maskf)
+    m_f, p_f = _from_blocked(out[0]), _from_blocked(out[1])
+    return (m_f[..., :n].reshape(lead + (d, 1, n)),
+            p_f[..., :n].reshape(lead + (d, d, n)),
+            out[2][:, 0].reshape(lead))
+
+
+def _uniform_adjoint_kernel(fc_ref, cc_ref, qc_ref, m0_ref, p0_ref, h_ref,
+                            nu_ref, lam_ref, mk_ref, mp_ref, pp_ref, gs_ref,
+                            gnu_ref, glam_ref,
+                            gf_ref, gc_ref, gq_ref, gm0_ref, gp0_ref, gh_ref,
+                            carry_e, carry_g, carry_l,
+                            *, r_blk, lanes, pad):
+    """Fused Koopman backward for the uniform grid: constant raw inputs are
+    broadcast in VMEM, per-step (nu, lam) gradients are written out, and the
+    constant-input gradients are accumulated as SUMS (the broadcast VJP) in
+    VMEM-resident output blocks — no d^2-sized gradient array in HBM.
+
+    Front padding (reverse grid): pad slots have lam = mask = 0, which makes
+    their scan elements benign; their (g_f, g_c, g_q) values are garbage and
+    are excluded from the sums via the global-index mask."""
+    d = fc_ref.shape[1]
+    dtype = fc_ref.dtype
+    i = pl.program_id(1)
+    nprog = pl.num_programs(1)
+
+    @pl.when(i == 0)
+    def _init():
+        ident = _smoother_identity(d, 1, 1, dtype)
+        carry_e[...] = ident[0]
+        carry_g[...] = ident[1]
+        carry_l[...] = ident[2]
+        gf_ref[...] = jnp.zeros(gf_ref.shape, dtype)
+        gc_ref[...] = jnp.zeros(gc_ref.shape, dtype)
+        gq_ref[...] = jnp.zeros(gq_ref.shape, dtype)
+        gm0_ref[...] = jnp.zeros(gm0_ref.shape, dtype)
+        gp0_ref[...] = jnp.zeros(gp0_ref.shape, dtype)
+        gh_ref[...] = jnp.zeros(gh_ref.shape, dtype)
+
+    c4 = lambda ref: ref[0]
+    fc, ccst, qc = c4(fc_ref), c4(cc_ref), c4(qc_ref)
+    m0, p0, hb = c4(m0_ref), c4(p0_ref), c4(h_ref)
+    nub, lamb, mkb = nu_ref[0], lam_ref[0], mk_ref[0]
+    mpb, ppb = mp_ref[0], pp_ref[0]
+
+    # reverse grid: at step i the loaded block is chunk (nprog - 1 - i)
+    chunk_idx = nprog - 1 - i
+    rl = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, r_blk, lanes), 3)
+          * r_blk
+          + jax.lax.broadcasted_iota(jnp.int32, (1, 1, r_blk, lanes), 2))
+    g = chunk_idx * (r_blk * lanes) + rl              # global padded index
+    ntot = nprog * r_blk * lanes
+    first = g == pad                                  # global element 0
+    last = g == ntot - 1                              # global last element
+    zero = jnp.zeros((), dtype)
+    f_in = jnp.where(first, zero, fc)
+    c_in = jnp.where(first, m0, ccst)
+    q_in = jnp.where(first, p0, qc)
+    fn_in = jnp.where(last, zero, fc)                 # F_{k+1}
+
+    a_blk, pp_blk, l_blk, g_blk, v_blk = _adjoint_elem_slice(
+        f_in, c_in, q_in, hb, nub, lamb, fn_in, mpb, ppb)
+    lt_blk = _t(l_blk)
+
+    def elem(r):
+        return (lt_blk[:, :, r, :], g_blk[:, :, r, :], v_blk[:, :, r, :])
+
+    suf = [elem(r_blk - 1)]
+    for r in range(r_blk - 2, -1, -1):
+        suf.append(_combine_smoother(suf[-1], elem(r)))
+    suf = suf[::-1]
+    ident = _smoother_identity(d, 1, lanes, dtype)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (d, d, lanes), dimension=2)
+    lane_b = jax.lax.broadcasted_iota(jnp.int32, (d, 1, lanes), dimension=2)
+    masks = (lane, lane_b, lane)
+    tot = suf[0]
+    k = 1
+    while k < lanes:
+        shifted = tuple(pltpu.roll(t, lanes - k, 2) for t in tot)
+        shifted = tuple(jnp.where(m >= lanes - k, idl, s)
+                        for m, idl, s in zip(masks, ident, shifted))
+        tot = _combine_smoother(shifted, tot)
+        k *= 2
+    excl = tuple(pltpu.roll(t, lanes - 1, 2) for t in tot)
+    excl = tuple(jnp.where(m >= lanes - 1, idl, s)
+                 for m, idl, s in zip(masks, ident, excl))
+    carry = (carry_e[...], carry_g[...], carry_l[...])
+    carry_bcast = tuple(jnp.broadcast_to(cc, x.shape)
+                        for cc, x in zip(carry, excl))
+    exc = _combine_smoother(carry_bcast, excl)
+
+    gs = gs_ref[0, 0]
+    suf_blk = tuple(jnp.stack([s[j] for s in suf], axis=2) for j in range(3))
+    exc_b = tuple(x[:, :, None, :] for x in exc)
+    out_blk = _combine_smoother(exc_b, suf_blk)
+    r_stack, ndk_stack = out_blk[1], out_blk[2]
+    g_f, g_c, g_q, g_h, g_nu, g_lam = _adjoint_grads_slice(
+        f_in, hb, nub, lamb, mkb, mpb, ppb, a_blk, pp_blk,
+        r_stack, ndk_stack)
+    gnu_ref[0] = gs * g_nu
+    glam_ref[0] = gs * g_lam
+    # constant-input gradients: broadcast VJP = sum over real steps
+    valid = g >= pad
+    sel = valid & jnp.logical_not(first)
+    ssum = lambda x, m: gs * jnp.sum(jnp.where(m, x, zero), axis=(2, 3))
+    gf_ref[0, :, :, 0, 0] += ssum(g_f, sel)
+    gc_ref[0, :, :, 0, 0] += ssum(g_c, sel)
+    gq_ref[0, :, :, 0, 0] += ssum(g_q, sel)
+    gm0_ref[0, :, :, 0, 0] += ssum(g_c, first)
+    gp0_ref[0, :, :, 0, 0] += ssum(g_q, first)
+    gh_ref[0, :, :, 0, 0] += ssum(g_h, valid)
+
+    exc_first = tuple(x[..., :1] for x in exc)
+    suf_first = tuple(x[..., :1] for x in suf[0])
+    new_carry = _combine_smoother(exc_first, suf_first)
+    carry_e[...] = new_carry[0]
+    carry_g[...] = new_carry[1]
+    carry_l[...] = new_carry[2]
+
+
+def pallas_adjoint_pipeline_uniform(Fc, cc, Qc, mu0, P0, Hc, nu, lam, maskf,
+                                    m_f, p_f, gscale, *,
+                                    chunk: int = PALLAS_CHUNK,
+                                    r_blk: int = None,
+                                    interpret: bool = False):
+    """Fused Koopman backward for the uniform grid.  Returns
+    (gFc, gcc, gQc, gmu0, gP0, gHc, gnu, glam) where the constant-input
+    gradients are the broadcast-VJP sums over their real steps (k >= 1 for
+    F/c/Q; all k for H) and the element-0 slots of (c, Q) land in
+    (gmu0, gP0); (gnu, glam) are per-step."""
+    lead = nu.shape[:-3]
+    n = nu.shape[-1]
+    d = Fc.shape[-3]
+    o = lam.shape[-3]
+    if maskf is None:
+        maskf = jnp.ones(lead + (1, 1, n), nu.dtype)
+    zfirst = lambda x: jnp.concatenate(
+        [jnp.zeros_like(x[..., :1]), x[..., :-1]], axis=-1)
+    m_prev = zfirst(m_f)
+    p_prev = zfirst(p_f)
+    bc = lambda x, d1, d2: jnp.broadcast_to(
+        x, lead + (d1, d2, 1)).reshape((-1, d1, d2, 1, 1))
+    fc = bc(Fc, d, d)
+    ccst = bc(cc, d, 1)
+    qc = bc(Qc, d, d)
+    m0 = bc(mu0, d, 1)
+    p0 = bc(P0, d, d)
+    hc = bc(Hc, o, d)
+    flat = lambda x: x.reshape((-1,) + x.shape[-3:])
+    arrs = [flat(x) for x in (nu, lam, maskf, m_prev, p_prev)]
+    bdim = arrs[0].shape[0]
+    gsarr = jnp.broadcast_to(gscale, lead).reshape(bdim, 1).astype(nu.dtype)
+    r_blk, lanes = _split_chunk(chunk, r_blk)
+    num_chunks = -(-n // chunk)
+    pad = num_chunks * chunk - n
+    if pad:
+        fpad = lambda x: jnp.concatenate(
+            [jnp.zeros(x.shape[:-1] + (pad,), x.dtype), x], axis=-1)
+        arrs = [fpad(x) for x in arrs]
+    blk = functools.partial(_to_blocked, r_blk=r_blk)
+    arrs = [blk(x) for x in arrs]
+
+    cspec = lambda d1, d2: pl.BlockSpec((1, d1, d2, 1, 1),
+                                        lambda bi, i: (bi, 0, 0, 0, 0),
+                                        memory_space=pltpu.VMEM)
+    rev = lambda bi, i: (bi, 0, 0, 0, pl.num_programs(1) - 1 - i)
+    spec = lambda d1, d2: pl.BlockSpec((1, d1, d2, r_blk, lanes), rev,
+                                       memory_space=pltpu.VMEM)
+    nb_tot = num_chunks * lanes
+    shp = lambda d1, d2: jax.ShapeDtypeStruct(
+        (bdim, d1, d2, r_blk, nb_tot), nu.dtype)
+    cshp = lambda d1, d2: jax.ShapeDtypeStruct((bdim, d1, d2, 1, 1),
+                                               nu.dtype)
+    out = pl.pallas_call(
+        functools.partial(_uniform_adjoint_kernel, r_blk=r_blk, lanes=lanes,
+                          pad=pad),
+        grid=(bdim, num_chunks),
+        in_specs=[cspec(d, d), cspec(d, 1), cspec(d, d), cspec(d, 1),
+                  cspec(d, d), cspec(o, d),
+                  spec(o, 1), spec(o, o), spec(1, 1), spec(d, 1),
+                  spec(d, d),
+                  pl.BlockSpec((1, 1), lambda bi, i: (bi, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=(spec(o, 1), spec(o, o),
+                   cspec(d, d), cspec(d, 1), cspec(d, d), cspec(d, 1),
+                   cspec(d, d), cspec(o, d)),
+        out_shape=(shp(o, 1), shp(o, o),
+                   cshp(d, d), cshp(d, 1), cshp(d, d), cshp(d, 1),
+                   cshp(d, d), cshp(o, d)),
+        scratch_shapes=[
+            pltpu.VMEM((d, d, 1), nu.dtype),
+            pltpu.VMEM((d, 1, 1), nu.dtype),
+            pltpu.VMEM((d, d, 1), nu.dtype),
+        ],
+        interpret=interpret,
+    )(fc, ccst, qc, m0, p0, hc, *arrs, gsarr)
+    unblk = lambda x, d1, d2: _from_blocked(x)[..., pad:].reshape(
+        lead + (d1, d2, n))
+    unc = lambda x, d1, d2: x.reshape(lead + (d1, d2, 1))
+    return (unc(out[2], d, d), unc(out[3], d, 1), unc(out[4], d, d),
+            unc(out[5], d, 1), unc(out[6], d, d), unc(out[7], o, d),
+            unblk(out[0], o, 1), unblk(out[1], o, o))
 
 
 def pallas_smoother_scan(elems, *, chunk: int = PALLAS_CHUNK,

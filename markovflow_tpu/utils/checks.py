@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["check_time_points", "check_shape_suffix"]
+__all__ = ["check_time_points", "check_shape_suffix", "is_uniform_grid"]
 
 
 def _is_concrete(x) -> bool:
@@ -55,6 +55,39 @@ def check_time_points(time_points, name: str = "time_points"):
                 raise ValueError(
                     f"{name} must be sorted in non-decreasing order along "
                     "the last axis")
+
+
+def is_uniform_grid(time_points) -> bool:
+    """True iff ``time_points`` is concrete, inspectable without a device
+    readback (host/CPU-resident, or strict checks on), strictly increasing,
+    and evenly spaced up to floating-point quantization of the stored grid.
+
+    The tolerance is the rounding bound of the storage dtype
+    (2 eps max|t| per delta): a grid whose deltas are indistinguishable
+    from uniform at the user's own precision is treated as uniform — the
+    general path would compute deltas from the same rounded values.  Used
+    by the models to enable the stationary uniform-grid fast path
+    (constant prior-step arrays; see
+    ops.adjoint.log_likelihood_koopman_uniform).  Pass numpy time points
+    to enable it for device-resident workflows.
+    """
+    from ..config import strict_checks
+
+    if not _is_concrete(time_points):
+        return False
+    if not (strict_checks() or _on_host_or_cpu(time_points)):
+        return False
+    tp = np.asarray(time_points)
+    if tp.ndim < 1 or tp.shape[-1] < 3:
+        return False
+    deltas = np.diff(tp, axis=-1)
+    mean = deltas.mean(axis=-1, keepdims=True)
+    if not np.all(np.isfinite(mean)) or np.any(mean <= 0):
+        return False
+    eps = np.finfo(tp.dtype).eps if np.issubdtype(tp.dtype, np.floating) \
+        else np.finfo(np.float64).eps
+    atol = 2.0 * eps * np.max(np.abs(tp))
+    return bool(np.all(np.abs(deltas - mean) <= atol))
 
 
 def check_shape_suffix(array, suffix, name: str):
