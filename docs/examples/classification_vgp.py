@@ -3,6 +3,7 @@
 # Mirrors the reference's variational notebook: Bernoulli likelihood,
 # full-rank SSM posterior, natural-gradient updates.
 # %%
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -22,11 +23,11 @@ model = VariationalGaussianProcess(
 opt = SSMNaturalGradient(gamma=0.5)
 ssm = model.dist_q.non_trainable_copy()
 state = None
+step = opt.make_step(lambda s: model.with_dist_q(s).loss())  # jitted
 for _ in range(15):
-    ssm, state, loss = opt.step(lambda s: model.with_dist_q(s).loss(), ssm,
-                                state)
+    ssm, state, loss = step(ssm, state)
 model = model.with_dist_q(ssm)
-p, _ = model.posterior.predict_y(x)
+p, _ = jax.jit(lambda m, t: m.posterior.predict_y(t))(model, x)
 acc = float(jnp.mean((p[:, 0] > 0.5) == (labels[:, 0] > 0.5)))
 print("train accuracy:", acc)
 assert acc > 0.9

@@ -17,14 +17,17 @@ y = jnp.asarray(rng.poisson(rate)[:, None].astype(float))
 
 model = CVIGaussianProcess((x, y), Matern32(lengthscale=1.0, variance=1.0),
                            Poisson(), learning_rate=0.7)
-e0 = float(model.classic_elbo())
+import jax
+elbo = jax.jit(lambda m: m.classic_elbo())
+update = jax.jit(lambda m: m.update_sites())
+e0 = float(elbo(model))
 for _ in range(20):
-    model = model.update_sites()
-e1 = float(model.classic_elbo())
+    model = update(model)
+e1 = float(elbo(model))
 print(f"ELBO {e0:.1f} -> {e1:.1f}")
 assert e1 > e0
 
-lam_mean, lam_var = model.posterior.predict_y(x)
+lam_mean, lam_var = jax.jit(lambda m, t: m.posterior.predict_y(t))(model, x)
 corr = np.corrcoef(np.asarray(lam_mean)[:, 0], rate)[0, 1]
 print("rate correlation:", corr)
 assert corr > 0.8

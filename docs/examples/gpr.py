@@ -27,7 +27,7 @@ assert float(losses[-1]) < float(losses[0])
 # %% predictions and posterior samples
 x_new = jnp.linspace(-0.5, 6.5, 200)
 f_mean, f_var = model.predict_f(x_new)
-y_mean, y_var = model.posterior.predict_y(x_new)
+y_mean, y_var = jax.jit(lambda m, t: m.posterior.predict_y(t))(model, x_new)
 samples = model.posterior.sample_f(x_new, 5, jax.random.PRNGKey(0))
 assert samples.shape == (5, 200, 1)
 print("learned lengthscale:", float(model.kernel.lengthscale.value))

@@ -29,12 +29,13 @@ model = VariationalGaussianProcess((x, y), kernel, lik)
 opt = SSMNaturalGradient(gamma=0.3)
 ssm = model.dist_q.non_trainable_copy()
 state = None
-e0 = float(model.elbo())
+elbo = jax.jit(lambda m: m.elbo())
+step = opt.make_step(lambda s: model.with_dist_q(s).loss())  # jitted
+e0 = float(elbo(model))
 for _ in range(12):
-    ssm, state, _ = opt.step(lambda s: model.with_dist_q(s).loss(), ssm,
-                             state)
+    ssm, state, _ = step(ssm, state)
 model = model.with_dist_q(ssm)
-e1 = float(model.elbo())
+e1 = float(elbo(model))
 print(f"ELBO {e0:.1f} -> {e1:.1f}")
 assert e1 > e0
 mean, var = model.posterior.predict_y(x)

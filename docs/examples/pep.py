@@ -29,8 +29,10 @@ data = (jnp.asarray(x), jnp.asarray(y[:, None]))
 pep = PowerExpectationPropagation(
     Matern32(lengthscale=1.0, variance=1.0), data,
     PEPGaussian(Gaussian(variance=NOISE**2)), learning_rate=1.0, alpha=1.0)
+import jax
+update = jax.jit(lambda m: m.update_sites())
 for _ in range(4):
-    pep = pep.update_sites()
+    pep = update(pep)
 
 gpr = GaussianProcessRegression(
     data, Matern32(lengthscale=1.0, variance=1.0), jnp.asarray([[NOISE]]))
@@ -52,7 +54,7 @@ pep_half = PowerExpectationPropagation(
     Matern32(lengthscale=1.0, variance=1.0), data,
     PEPGaussian(Gaussian(variance=NOISE**2)), learning_rate=0.8, alpha=0.5)
 for _ in range(8):
-    pep_half = pep_half.update_sites()
+    pep_half = update(pep_half)
 f_h, v_h = pep_half.predict_f(jnp.asarray([1.0, 3.0]))
 f_g, v_g = gpr.predict_f(jnp.asarray([1.0, 3.0]))
 print("alpha=0.5 posterior mean:", np.asarray(f_h)[:, 0])
@@ -67,8 +69,9 @@ spep = SparsePowerExpectationPropagation(
     inducing_points=jnp.asarray(np.linspace(-0.1, 6.1, M)),
     likelihood=PEPGaussian(Gaussian(variance=NOISE**2)),
     learning_rate=0.8, alpha=1.0)
+supdate = jax.jit(lambda m, d: m.update_sites(d))
 for _ in range(10):
-    spep = spep.update_sites(data)
+    spep = supdate(spep, data)
 energy = float(spep.energy(data))
 print("sparse PEP energy:", energy)
 assert np.isfinite(energy)

@@ -28,13 +28,20 @@ obs = truth + 0.2 * jax.random.normal(jax.random.fold_in(key, 1), truth.shape)
 
 q_path = Gaussian(jnp.zeros((1, n, 1)), jnp.ones((1, n, 1, 1)))
 init = Gaussian(jnp.asarray([[1.0]]), jnp.eye(1)[None] * 0.25)
-for it in range(5):
+
+
+@jax.jit
+def vi_iteration(q_path):
     prior_ssm = linearize_sde(sde, ts, q_path, init)
     kf = KalmanFilter(prior_ssm, EmissionModel(jnp.ones((1, n + 1, 1, 1))),
                       obs[None], jnp.asarray([[0.2]]))
     post = kf.posterior_state_space_model()
     means, covs = post.marginals
-    q_path = Gaussian(means[..., 1:, :], covs[..., 1:, :, :])
+    return Gaussian(means[..., 1:, :], covs[..., 1:, :, :]), post
+
+
+for it in range(5):
+    q_path, post = vi_iteration(q_path)
 
 rmse = float(jnp.sqrt(jnp.mean((q_path.mu[0] - truth[1:]) ** 2)))
 dt = float(ts[1] - ts[0])

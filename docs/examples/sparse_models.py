@@ -33,17 +33,18 @@ svgp = SparseVariationalGaussianProcess(
 opt = SSMNaturalGradient(gamma=0.8)
 ssm = svgp.dist_q.non_trainable_copy()
 state = None
+step = opt.make_step(lambda s: svgp.with_dist_q(s).loss((x, y)))  # jitted
 for _ in range(10):
-    ssm, state, _ = opt.step(lambda s: svgp.with_dist_q(s).loss((x, y)), ssm,
-                             state)
+    ssm, state, _ = step(ssm, state)
 svgp = svgp.with_dist_q(ssm)
 print("SVGP elbo:", float(svgp.elbo((x, y))))
 
 # %% sparse CVI
 scvi = SparseCVIGaussianProcess(Matern32(lengthscale=1.0), z, lik,
                                 learning_rate=0.8)
+scvi_update = jax.jit(lambda m: m.update_sites((x, y)))
 for _ in range(10):
-    scvi = scvi.update_sites((x, y))
+    scvi = scvi_update(scvi)
 print("SCVI elbo:", float(scvi.classic_elbo((x, y))))
 
 # %% sparse PEP

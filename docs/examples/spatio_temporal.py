@@ -3,6 +3,7 @@
 # Mirrors the reference's spatio-temporal notebook: separable space x time
 # kernel with sparse inducing points in both dimensions.
 # %%
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -30,9 +31,11 @@ model = SpatioTemporalSparseCVI(
     learning_rate=0.8,
 )
 e0 = float(model.elbo((x, y)))
+update = jax.jit(lambda m: m.update_sites((x, y)))
+elbo = jax.jit(lambda m: m.elbo((x, y)))
 for _ in range(12):
-    model = model.update_sites((x, y))
-e1 = float(model.elbo((x, y)))
+    model = update(model)
+e1 = float(elbo(model))
 print(f"ELBO {e0:.1f} -> {e1:.1f}")
 assert e1 > e0
 f_mu, f_var = model.space_time_predict_f(x)

@@ -6,6 +6,7 @@ from numpy.testing import assert_allclose
 from markovflow_tpu.kernels import Matern32
 from markovflow_tpu.likelihoods import Poisson
 from markovflow_tpu.models.variational_cvi import CVIGaussianProcess
+from tests.tools import UPDATE_SITES
 
 
 def test_dist_q_filter_equals_naturals(rng):
@@ -15,7 +16,7 @@ def test_dist_q_filter_equals_naturals(rng):
     cvi = CVIGaussianProcess((x, y), Matern32(lengthscale=0.8),
                              Poisson(), learning_rate=0.6)
     for _ in range(6):
-        cvi = cvi.update_sites()
+        cvi = UPDATE_SITES(cvi)
     q_f = cvi.dist_q
     q_n = cvi.dist_q_naturals
     assert_allclose(np.asarray(q_f.marginal_means),

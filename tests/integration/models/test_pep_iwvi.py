@@ -11,6 +11,7 @@ from markovflow_tpu.likelihoods import Gaussian, PEPGaussian, PEPScalarLikelihoo
 from markovflow_tpu.models import GaussianProcessRegression
 from markovflow_tpu.models.iwvi import ImportanceWeightedVI
 from markovflow_tpu.models.pep import PowerExpectationPropagation
+from tests.tools import ELBO, ELBO_D, LOGLIK, PREDICT_F, UPDATE_SITES
 
 NOISE = 0.3
 
@@ -32,11 +33,11 @@ def test_pep_gaussian_recovers_gpr(rng):
     gpr = GaussianProcessRegression(
         (x, y), Matern32(lengthscale=0.7, variance=1.2), jnp.asarray([[NOISE]]))
     for _ in range(3):
-        pep = pep.update_sites()
-    assert_allclose(float(pep.elbo()), float(gpr.log_likelihood()), rtol=1e-6)
+        pep = UPDATE_SITES(pep)
+    assert_allclose(float(ELBO(pep)), float(LOGLIK(gpr)), rtol=1e-6)
     x_new = jnp.asarray([0.4, 2.2])
-    f_p, v_p = pep.predict_f(x_new)
-    f_g, v_g = gpr.predict_f(x_new)
+    f_p, v_p = PREDICT_F(pep, x_new)
+    f_g, v_g = PREDICT_F(gpr, x_new)
     assert_allclose(np.asarray(f_p), np.asarray(f_g), atol=1e-6)
     assert_allclose(np.asarray(v_p), np.asarray(v_g), atol=1e-6)
 
@@ -55,7 +56,7 @@ def test_pep_quadrature_matches_analytic_gaussian(rng):
         learning_rate=1.0, alpha=0.5)
     pep_a = PowerExpectationPropagation(
         kernel, (x, y), PEPGaussian(base), learning_rate=1.0, alpha=0.5)
-    pep_q, pep_a = pep_q.update_sites(), pep_a.update_sites()
+    pep_q, pep_a = UPDATE_SITES(pep_q), UPDATE_SITES(pep_a)
     assert_allclose(np.asarray(pep_q.sites.nat1), np.asarray(pep_a.sites.nat1),
                     atol=1e-4)
     assert_allclose(np.asarray(pep_q.sites.nat2), np.asarray(pep_a.sites.nat2),
@@ -70,7 +71,7 @@ def test_pep_energy_finite_and_improves(rng):
         alpha=0.8)
     e0 = float(pep.energy())
     for _ in range(5):
-        pep = pep.update_sites()
+        pep = UPDATE_SITES(pep)
     e1 = float(pep.energy())
     assert np.isfinite(e0) and np.isfinite(e1)
     assert e1 > e0
@@ -86,7 +87,7 @@ def test_iwvi_elbo_monotone_in_k(rng):
     def avg_elbo(k_samples):
         model = ImportanceWeightedVI(kernel, x, Gaussian(variance=NOISE**2),
                                      num_importance_samples=k_samples)
-        vals = [float(model.elbo((x, y), jax.random.fold_in(key, i)))
+        vals = [float(ELBO_D(model, (x, y), jax.random.fold_in(key, i)))
                 for i in range(60)]
         return np.mean(vals)
 
@@ -97,7 +98,7 @@ def test_iwvi_elbo_monotone_in_k(rng):
     # the evidence
     gpr = GaussianProcessRegression(
         (x, y), Matern32(lengthscale=0.7, variance=1.2), jnp.asarray([[NOISE]]))
-    assert e20 <= float(gpr.log_likelihood()) + 0.5
+    assert e20 <= float(LOGLIK(gpr)) + 0.5
 
 
 def test_iwvi_dregs_gradient_finite(rng):

@@ -7,6 +7,7 @@ from markovflow_tpu.kernels import Matern32
 from markovflow_tpu.likelihoods import Gaussian, PEPGaussian
 from markovflow_tpu.models import GaussianProcessRegression
 from markovflow_tpu.models.sparse_pep import SparsePowerExpectationPropagation
+from tests.tools import CLASSIC_ELBO_D, LOGLIK, PREDICT_F, UPDATE_SITES_D
 
 NOISE = 0.3
 
@@ -30,15 +31,15 @@ def test_spep_dense_inducing_recovers_gpr(rng):
         (x, y), Matern32(lengthscale=0.7, variance=1.2), jnp.asarray([[NOISE]]))
     e_prev = -np.inf
     for _ in range(10):
-        spep = spep.update_sites((x, y))
-    elbo = float(spep.classic_elbo((x, y)))
-    gpr_ll = float(gpr.log_likelihood())
+        spep = UPDATE_SITES_D(spep, (x, y))
+    elbo = float(CLASSIC_ELBO_D(spep, (x, y)))
+    gpr_ll = float(LOGLIK(gpr))
     # The sparse bound sits below the evidence; with a z-grid that is NOT the
     # data locations there is an irreducible projection gap.
     assert elbo <= gpr_ll + 1e-6
     assert elbo > gpr_ll - 3.0
-    f_s, _ = spep.predict_f(x)
-    f_g, _ = gpr.predict_f(x)
+    f_s, _ = PREDICT_F(spep, x)
+    f_g, _ = PREDICT_F(gpr, x)
     assert float(jnp.max(jnp.abs(f_s - f_g))) < 0.3
 
 
@@ -49,10 +50,10 @@ def test_spep_improves_elbo(rng):
         Matern32(lengthscale=0.7, variance=1.2), z,
         PEPGaussian(Gaussian(variance=NOISE**2)), learning_rate=0.5,
         alpha=0.8)
-    e0 = float(spep.classic_elbo((x, y)))
+    e0 = float(CLASSIC_ELBO_D(spep, (x, y)))
     for _ in range(8):
-        spep = spep.update_sites((x, y))
-    e1 = float(spep.classic_elbo((x, y)))
+        spep = UPDATE_SITES_D(spep, (x, y))
+    e1 = float(CLASSIC_ELBO_D(spep, (x, y)))
     assert np.isfinite(e1) and e1 > e0 + 1.0
     assert np.isfinite(float(spep.energy((x, y))))
 

@@ -14,6 +14,7 @@ from markovflow_tpu.models.sparse_variational_cvi import (
     SparseCVIGaussianProcess,
 )
 from markovflow_tpu.ssm_natgrad import SSMNaturalGradient
+from tests.tools import CLASSIC_ELBO_D, LOGLIK, PREDICT_F, UPDATE_SITES_D
 
 NOISE = 0.3
 
@@ -37,7 +38,7 @@ def test_svgp_with_inducing_equal_data_recovers_gpr(rng):
     loss_fn = lambda s: svgp.with_dist_q(s).loss((x, y))
     ssm1, _, _ = opt.step(loss_fn, svgp.dist_q.non_trainable_copy())
     elbo = float(svgp.with_dist_q(ssm1).elbo((x, y)))
-    assert_allclose(elbo, float(gpr.log_likelihood()), rtol=1e-8)
+    assert_allclose(elbo, float(LOGLIK(gpr)), rtol=1e-8)
 
 
 def test_svgp_sparse_elbo_below_gpr(rng):
@@ -55,13 +56,13 @@ def test_svgp_sparse_elbo_below_gpr(rng):
     for _ in range(20):
         ssm, state, _ = opt.step(loss_fn, ssm, state)
     elbo = float(svgp.with_dist_q(ssm).elbo((x, y)))
-    gpr_ll = float(gpr.log_likelihood())
+    gpr_ll = float(LOGLIK(gpr))
     assert elbo <= gpr_ll + 1e-6
     assert elbo > gpr_ll - 5.0  # reasonably tight
 
     # predictions are close to GPR
     f_s, _ = svgp.with_dist_q(ssm).predict_f(x)
-    f_g, _ = gpr.predict_f(x)
+    f_g, _ = PREDICT_F(gpr, x)
     assert float(jnp.max(jnp.abs(f_s - f_g))) < 0.25
 
 
@@ -75,12 +76,12 @@ def test_scvi_with_inducing_equal_data_recovers_gpr(rng):
         learning_rate=1.0)
     gpr = GaussianProcessRegression(
         (x, y), Matern32(lengthscale=0.7, variance=1.2), jnp.asarray([[NOISE]]))
-    scvi = scvi.update_sites((x, y))
-    assert_allclose(float(scvi.classic_elbo((x, y))),
-                    float(gpr.log_likelihood()), rtol=1e-7)
+    scvi = UPDATE_SITES_D(scvi, (x, y))
+    assert_allclose(float(CLASSIC_ELBO_D(scvi, (x, y))),
+                    float(LOGLIK(gpr)), rtol=1e-7)
     x_new = jnp.asarray([0.4, 2.2, 4.7])
-    f_c, v_c = scvi.predict_f(x_new)
-    f_g, v_g = gpr.predict_f(x_new)
+    f_c, v_c = PREDICT_F(scvi, x_new)
+    f_g, v_g = PREDICT_F(gpr, x_new)
     assert_allclose(np.asarray(f_c), np.asarray(f_g), atol=1e-6)
     assert_allclose(np.asarray(v_c), np.asarray(v_g), atol=1e-6)
 
@@ -91,8 +92,8 @@ def test_scvi_sparse_improves(rng):
     scvi = SparseCVIGaussianProcess(
         Matern32(lengthscale=0.7, variance=1.2), inducing_points=z,
         likelihood=Gaussian(variance=NOISE**2), learning_rate=0.8)
-    e0 = float(scvi.classic_elbo((x, y)))
+    e0 = float(CLASSIC_ELBO_D(scvi, (x, y)))
     for _ in range(10):
-        scvi = scvi.update_sites((x, y))
-    e1 = float(scvi.classic_elbo((x, y)))
+        scvi = UPDATE_SITES_D(scvi, (x, y))
+    e1 = float(CLASSIC_ELBO_D(scvi, (x, y)))
     assert e1 > e0 + 1.0

@@ -14,6 +14,7 @@ from markovflow_tpu.models.spatio_temporal_variational import (
     batch_base_conditional,
 )
 from markovflow_tpu.ssm_natgrad import SSMNaturalGradient
+from tests.tools import ELBO_D, UPDATE_SITES_D
 
 
 def make_data(rng, n=40):
@@ -72,7 +73,7 @@ def test_st_svgp_trains(rng):
     model = SpatioTemporalSparseVariational(
         inducing_space=zs, inducing_time=zt, kernel_space=ks, kernel_time=kt,
         likelihood=Gaussian(variance=0.1**2))
-    e0 = float(model.elbo((x, y)))
+    e0 = float(ELBO_D(model, (x, y)))
     opt = SSMNaturalGradient(gamma=0.7)
     ssm = model.dist_q.non_trainable_copy()
     loss_fn = lambda s: model.with_dist_q(s).loss((x, y))
@@ -80,7 +81,7 @@ def test_st_svgp_trains(rng):
     for _ in range(15):
         ssm, state, _ = opt.step(loss_fn, ssm, state)
     model = model.with_dist_q(ssm)
-    e1 = float(model.elbo((x, y)))
+    e1 = float(ELBO_D(model, (x, y)))
     assert np.isfinite(e1) and e1 > e0 + 5.0
     f_mu, f_var = model.space_time_predict_f(x)
     rmse = float(jnp.sqrt(jnp.mean((f_mu - y) ** 2)))
@@ -93,10 +94,10 @@ def test_st_cvi_trains(rng):
     model = SpatioTemporalSparseCVI(
         inducing_space=zs, inducing_time=zt, kernel_space=ks, kernel_time=kt,
         likelihood=Gaussian(variance=0.1**2), learning_rate=0.8)
-    e0 = float(model.elbo((x, y)))
+    e0 = float(ELBO_D(model, (x, y)))
     for _ in range(15):
-        model = model.update_sites((x, y))
-    e1 = float(model.elbo((x, y)))
+        model = UPDATE_SITES_D(model, (x, y))
+    e1 = float(ELBO_D(model, (x, y)))
     assert np.isfinite(e1) and e1 > e0 + 5.0
     f_mu, _ = model.space_time_predict_f(x)
     rmse = float(jnp.sqrt(jnp.mean((f_mu - y) ** 2)))

@@ -10,6 +10,7 @@ from markovflow_tpu.likelihoods import Gaussian
 from markovflow_tpu.models import GaussianProcessRegression
 from markovflow_tpu.models.variational import VariationalGaussianProcess
 from markovflow_tpu.ssm_natgrad import SSMNaturalGradient
+from tests.tools import ELBO, LOGLIK, PREDICT_F
 
 NOISE = 0.3
 
@@ -39,7 +40,7 @@ def test_vgp_natgrad_one_step_recovers_gpr(rng):
     ssm0 = vgp.dist_q.non_trainable_copy()
     ssm1, _, _ = opt.step(loss_of_ssm, ssm0)
     elbo_after = float(vgp.with_dist_q(ssm1).elbo())
-    gpr_ll = float(gpr.log_likelihood())
+    gpr_ll = float(LOGLIK(gpr))
     assert_allclose(elbo_after, gpr_ll, rtol=1e-8)
 
     # and it is a fixed point: another step doesn't move the ELBO
@@ -55,7 +56,7 @@ def test_vgp_elbo_lower_bounds_gpr(rng):
     gpr = GaussianProcessRegression((x, y),
                                     Matern32(lengthscale=0.7, variance=1.2),
                                     jnp.asarray([[NOISE]]))
-    assert float(vgp.elbo()) <= float(gpr.log_likelihood()) + 1e-8
+    assert float(ELBO(vgp)) <= float(LOGLIK(gpr)) + 1e-8
 
 
 def test_vgp_posterior_matches_gpr_after_natgrad(rng):
@@ -71,8 +72,8 @@ def test_vgp_posterior_matches_gpr_after_natgrad(rng):
                           vgp.dist_q.non_trainable_copy())
     vgp_opt = vgp.with_dist_q(ssm1)
     x_new = jnp.asarray([0.3, 1.9, 4.2])
-    f_v, v_v = vgp_opt.predict_f(x_new)
-    f_g, v_g = gpr.predict_f(x_new)
+    f_v, v_v = PREDICT_F(vgp_opt, x_new)
+    f_g, v_g = PREDICT_F(gpr, x_new)
     assert_allclose(np.asarray(f_v), np.asarray(f_g), atol=1e-7)
     assert_allclose(np.asarray(v_v), np.asarray(v_g), atol=1e-7)
 
@@ -129,4 +130,4 @@ def test_vgp_natgrad_parallel_engine_matches_sequential(rng):
     par1 = SSMNaturalGradient(gamma=1.0, naturals_engine="parallel")
     ssm1, _, _ = par1.step(loss_of_ssm, ssm0)
     assert_allclose(float(vgp.with_dist_q(ssm1).elbo()),
-                    float(gpr.log_likelihood()), rtol=1e-8)
+                    float(LOGLIK(gpr)), rtol=1e-8)

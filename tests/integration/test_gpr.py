@@ -8,6 +8,7 @@ from numpy.testing import assert_allclose
 from markovflow_tpu.kernels import Matern32
 from markovflow_tpu.mean_function import LinearMeanFunction
 from markovflow_tpu.models import GaussianProcessRegression
+from tests.tools import LOGLIK, LOSS, PREDICT_F
 
 ELL, VAR, NOISE = 0.8, 1.4, 0.1
 
@@ -49,7 +50,7 @@ def test_gpr_log_likelihood_matches_dense(rng):
     x, y = make_data(rng)
     model = make_model(x, y)
     _, _, ll = dense_gp_posterior(x, y, x)
-    assert_allclose(float(model.log_likelihood()), ll, rtol=1e-10)
+    assert_allclose(float(LOGLIK(model)), ll, rtol=1e-10)
 
 
 def test_gpr_predict_f_matches_dense(rng):
@@ -57,7 +58,7 @@ def test_gpr_predict_f_matches_dense(rng):
     model = make_model(x, y)
     x_new = np.array([-0.5, 0.31, 1.77, 2.09, 4.5])
     mean_np, cov_np, _ = dense_gp_posterior(x, y, x_new)
-    f_mu, f_var = model.predict_f(jnp.asarray(x_new))
+    f_mu, f_var = PREDICT_F(model, jnp.asarray(x_new))
     assert_allclose(np.asarray(f_mu)[:, 0], mean_np, atol=1e-8)
     assert_allclose(np.asarray(f_var)[:, 0], np.diag(cov_np), atol=1e-8)
 
@@ -66,7 +67,7 @@ def test_gpr_predict_f_at_training_points(rng):
     x, y = make_data(rng)
     model = make_model(x, y)
     mean_np, cov_np, _ = dense_gp_posterior(x, y, x)
-    f_mu, f_var = model.predict_f(jnp.asarray(x))
+    f_mu, f_var = PREDICT_F(model, jnp.asarray(x))
     assert_allclose(np.asarray(f_mu)[:, 0], mean_np, atol=1e-8)
     assert_allclose(np.asarray(f_var)[:, 0], np.diag(cov_np), atol=1e-8)
 
@@ -93,10 +94,10 @@ def test_gpr_with_mean_function(rng):
     )
     resid = y - 1.5 * x
     _, _, ll = dense_gp_posterior(x, resid, x)
-    assert_allclose(float(model.log_likelihood()), ll, rtol=1e-10)
+    assert_allclose(float(LOGLIK(model)), ll, rtol=1e-10)
     x_new = np.array([0.5, 2.2])
     mean_np, _, _ = dense_gp_posterior(x, resid, x_new)
-    f_mu, _ = model.predict_f(jnp.asarray(x_new))
+    f_mu, _ = PREDICT_F(model, jnp.asarray(x_new))
     assert_allclose(np.asarray(f_mu)[:, 0], mean_np + 1.5 * x_new, atol=1e-8)
 
 
@@ -106,10 +107,10 @@ def test_gpr_loss_is_jittable_and_differentiable(rng):
 
     @jax.jit
     def loss_fn(m):
-        return m.loss()
+        return LOSS(m)
 
     val = loss_fn(model)
-    grads = jax.grad(lambda m: m.loss())(model)
+    grads = jax.grad(lambda m: LOSS(m))(model)
     g_ell = grads.kernel.lengthscale.unconstrained
     assert np.isfinite(float(val))
     assert np.isfinite(float(g_ell)) and abs(float(g_ell)) > 0
@@ -130,7 +131,7 @@ def test_gpr_loss_is_jittable_and_differentiable(rng):
         m = GaussianProcessRegression(
             (jnp.asarray(x), jnp.asarray(y[:, None])), kernel,
             jnp.asarray([[NOISE]]))
-        return m.log_likelihood()
+        return LOGLIK(m)
 
     g1 = jax.grad(dense_ll)(ELL)
     g2 = jax.grad(ssm_ll)(ELL)
@@ -167,8 +168,8 @@ def test_gpr_analytic_grad_engines_match_autodiff(rng, engine):
     model_ad = make_model(x, y).replace(grad_engine="autodiff")
     model_fi = model_ad.replace(grad_engine=engine)
 
-    loss_ad, g_ad = jax.value_and_grad(lambda m: m.loss())(model_ad)
-    loss_fi, g_fi = jax.value_and_grad(lambda m: m.loss())(model_fi)
+    loss_ad, g_ad = jax.value_and_grad(lambda m: LOSS(m))(model_ad)
+    loss_fi, g_fi = jax.value_and_grad(lambda m: LOSS(m))(model_fi)
     assert_allclose(float(loss_fi), float(loss_ad), rtol=1e-12)
     la = jax.tree_util.tree_leaves(g_ad)
     lf = jax.tree_util.tree_leaves(g_fi)

@@ -15,6 +15,7 @@ from markovflow_tpu.kalman_filter import (
     UnivariateGaussianSitesNat,
 )
 from markovflow_tpu.kernels import Matern32
+from tests.tools import LOGLIK
 
 
 def _setup(rng, n=12):
@@ -49,8 +50,8 @@ def test_sparse_sites_match_dense_subset(rng):
     em_obs = kernel.generate_emission_model(jnp.asarray(x_obs))
     kf_dense = KalmanFilter(ssm_obs, em_obs, jnp.asarray(y),
                             jnp.asarray([[1.0 / np.sqrt(noise_prec)]]))
-    assert_allclose(float(kf_sparse.log_likelihood()),
-                    float(kf_dense.log_likelihood()), rtol=1e-9)
+    assert_allclose(float(LOGLIK(kf_sparse)),
+                    float(LOGLIK(kf_dense)), rtol=1e-9)
 
     # posterior at the observed points agrees
     post_sparse = kf_sparse.posterior_state_space_model()
@@ -70,7 +71,7 @@ def test_kalman_filter_with_sites_equals_kalman_filter(rng):
         nat1=jnp.asarray(y / noise_var),
         nat2=jnp.full((len(x), 1, 1), -0.5 / noise_var))
     kfs = KalmanFilterWithSites(ssm, em, sites)
-    assert_allclose(float(kf.log_likelihood()), float(kfs.log_likelihood()),
+    assert_allclose(float(LOGLIK(kf)), float(LOGLIK(kfs)),
                     rtol=1e-10)
     m1, _ = kf.forward_filter()
     m2, _ = kfs.forward_filter()
@@ -113,11 +114,11 @@ def test_sparse_sites_condense(rng):
         ssm_grid, em_grid, sites, n, jnp.asarray(obs_idx), jnp.asarray(y))
     kf_m = kf_sparse.condense()
 
-    assert_allclose(float(kf_m.log_likelihood()),
-                    float(kf_sparse.log_likelihood()), rtol=1e-9)
+    assert_allclose(float(LOGLIK(kf_m)),
+                    float(LOGLIK(kf_sparse)), rtol=1e-9)
     # analytic gradient engine works on the condensed filter too
     assert_allclose(float(kf_m.log_likelihood(grad_engine="koopman")),
-                    float(kf_sparse.log_likelihood()), rtol=1e-9)
+                    float(LOGLIK(kf_sparse)), rtol=1e-9)
 
     # condensed posterior == grid posterior at the observed points
     post_grid = kf_sparse.posterior_state_space_model()

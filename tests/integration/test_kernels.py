@@ -192,7 +192,7 @@ def test_kernel_gradients_match_analytic():
     def gram_analytic(ell):
         return VAR * len(TS) * 1.0  # diagonal is variance, indep of ell
 
-    g = jax.grad(gram_ssm)(0.7)
+    g = jax.jit(jax.grad(gram_ssm))(0.7)
     assert_allclose(float(g), 0.0, atol=1e-8)
 
     def offdiag_ssm(ell):
@@ -208,8 +208,8 @@ def test_kernel_gradients_match_analytic():
         r = TS[1] - TS[0]
         return VAR * (1 + lam * r) * jnp.exp(-lam * r)
 
-    g1 = jax.grad(offdiag_ssm)(0.7)
-    g2 = jax.grad(offdiag_analytic)(0.7)
+    g1 = jax.jit(jax.grad(offdiag_ssm))(0.7)
+    g2 = jax.jit(jax.grad(offdiag_analytic))(0.7)
     assert_allclose(float(g1), float(g2), rtol=1e-9)
 
 

@@ -103,9 +103,9 @@ def test_sharded_koopman_grads_match_unsharded(rng):
     )
 
     args = _tl_inputs(rng, 63, 2)
-    v_ref, g_ref = jax.value_and_grad(
+    v_ref, g_ref = jax.jit(jax.value_and_grad(
         lambda *a: log_likelihood_koopman(*a, engine="xla"),
-        argnums=(0, 1, 2, 4, 5))(*args)
+        argnums=(0, 1, 2, 4, 5)))(*args)
 
     mesh = make_mesh(dp=1, sp=8)
     sharded = _shard_time(mesh, args)

@@ -38,8 +38,10 @@ def _check(args, mask=None, argnums=tuple(range(6)), atol=1e-7):
     def ll_ko(*a):
         return jnp.sum(log_likelihood_koopman(*a, mask=mask))
 
-    v_ad, g_ad = jax.value_and_grad(ll_ad, argnums=argnums)(*args)
-    v_ko, g_ko = jax.value_and_grad(ll_ko, argnums=argnums)(*args)
+    # jit the whole comparison: eager op-by-op dispatch costs ~50s/test on
+    # this 1-core box vs ~2s traced (the persistent cache absorbs compiles)
+    v_ad, g_ad = jax.jit(jax.value_and_grad(ll_ad, argnums=argnums))(*args)
+    v_ko, g_ko = jax.jit(jax.value_and_grad(ll_ko, argnums=argnums))(*args)
     assert_allclose(float(v_ko), float(v_ad), rtol=1e-12)
     names = ["F", "c", "Q", "H", "nu", "lam"]
     for i, ga, gk in zip(argnums, g_ad, g_ko):

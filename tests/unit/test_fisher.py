@@ -38,8 +38,8 @@ def test_fisher_grads_match_autodiff(rng, d, o):
     def ll_fi(*a):
         return log_likelihood_fisher(*a, engine="xla")
 
-    v_ad, g_ad = jax.value_and_grad(ll_ad, argnums=tuple(range(6)))(*args)
-    v_fi, g_fi = jax.value_and_grad(ll_fi, argnums=tuple(range(6)))(*args)
+    v_ad, g_ad = jax.jit(jax.value_and_grad(ll_ad, argnums=tuple(range(6))))(*args)
+    v_fi, g_fi = jax.jit(jax.value_and_grad(ll_fi, argnums=tuple(range(6))))(*args)
     assert_allclose(float(v_fi), float(v_ad), rtol=1e-12)
     # Q and lam cotangents compared through their symmetric parts: off the
     # symmetric-matrix manifold the two implementations are different
@@ -72,8 +72,8 @@ def test_fisher_grads_match_autodiff_masked(rng):
         return log_likelihood_fisher(*a, mask=mask, engine="xla")
 
     args2 = (F, c, Q, H, nu, lam)
-    v_ad, g_ad = jax.value_and_grad(ll_ad, argnums=(0, 1, 2))(*args2)
-    v_fi, g_fi = jax.value_and_grad(ll_fi, argnums=(0, 1, 2))(*args2)
+    v_ad, g_ad = jax.jit(jax.value_and_grad(ll_ad, argnums=(0, 1, 2)))(*args2)
+    v_fi, g_fi = jax.jit(jax.value_and_grad(ll_fi, argnums=(0, 1, 2)))(*args2)
     assert_allclose(float(v_fi), float(v_ad), rtol=1e-12)
     # Q cotangents are compared through their symmetric part: off the
     # symmetric-matrix manifold the two implementations are different
@@ -86,8 +86,8 @@ def test_fisher_grads_match_autodiff_masked(rng):
     assert_allclose(sym(g_fi[2]), sym(g_ad[2]), atol=1e-7,
                     err_msg="grad mismatch for Q (symmetric part)")
     # observation grads at OBSERVED steps also match
-    g_ad_obs = jax.grad(ll_ad, argnums=(4, 5))(*args2)
-    g_fi_obs = jax.grad(ll_fi, argnums=(4, 5))(*args2)
+    g_ad_obs = jax.jit(jax.grad(ll_ad, argnums=(4, 5)))(*args2)
+    g_fi_obs = jax.jit(jax.grad(ll_fi, argnums=(4, 5)))(*args2)
     for ga, gf, name in zip(g_ad_obs, g_fi_obs, ["nu", "lam"]):
         assert_allclose(np.asarray(gf)[..., mask_np],
                         np.asarray(ga)[..., mask_np], atol=1e-7,
@@ -103,8 +103,8 @@ def test_fisher_grads_batched(rng):
     def ll_fi(*a):
         return jnp.sum(log_likelihood_fisher(*a, engine="xla"))
 
-    g_ad = jax.grad(ll_ad, argnums=(0, 1, 2, 4))(*args)
-    g_fi = jax.grad(ll_fi, argnums=(0, 1, 2, 4))(*args)
+    g_ad = jax.jit(jax.grad(ll_ad, argnums=(0, 1, 2, 4)))(*args)
+    g_fi = jax.jit(jax.grad(ll_fi, argnums=(0, 1, 2, 4)))(*args)
     # Q compared through its symmetric part (see the masked test above).
     sym = lambda x: 0.5 * (np.asarray(x) + np.swapaxes(np.asarray(x), -3, -2))
     for i, (ga, gf) in enumerate(zip(g_ad, g_fi)):

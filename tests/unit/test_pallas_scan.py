@@ -7,6 +7,7 @@ from numpy.testing import assert_allclose
 from markovflow_tpu import StateSpaceModel
 from markovflow_tpu.ops import kalman as K
 from markovflow_tpu.ops.pallas_scan import pallas_filter_scan
+from tests.tools import jrun
 from tests.tools import numpy_kalman as npk
 
 
@@ -24,11 +25,11 @@ def test_pallas_scan_matches_reference(rng, d, t_len):
     nu = jnp.asarray(ys @ np.linalg.inv(R).T)
     Hs = jnp.broadcast_to(jnp.asarray(H), (t_len + 1, o, d))
     elems = K.make_filter_elements(F, c, Q, Hs, nu, lam)
-    m_ref, p_ref = K.parallel_filter(elems)
+    m_ref, p_ref = jrun(K.parallel_filter, elems)
 
     to_tl = lambda x: jnp.moveaxis(x, -3, -1)
     elems_tl = tuple(to_tl(x) for x in elems)
-    m_tl, p_tl = pallas_filter_scan(elems_tl, chunk=64, interpret=True)
+    m_tl, p_tl = jrun(pallas_filter_scan, elems_tl, chunk=64, interpret=True)
     m_got = jnp.moveaxis(m_tl[..., 0, :], -1, -2)
     p_got = jnp.moveaxis(p_tl, -1, -3)
     assert_allclose(np.asarray(m_got), np.asarray(m_ref), atol=1e-9)
@@ -48,8 +49,8 @@ def test_pallas_smoother_matches_reference(rng, t_len):
     nu = jnp.asarray(ys @ np.linalg.inv(R).T)
     Hs = jnp.broadcast_to(jnp.asarray(H), (t_len + 1, o, d))
     elems = K.make_filter_elements(F, c, Q, Hs, nu, lam)
-    m_f, p_f = K.parallel_filter(elems)
-    m_ref, p_ref, _ = K.parallel_smoother(F, c, Q, m_f, p_f)
+    m_f, p_f = jrun(K.parallel_filter, elems)
+    m_ref, p_ref, _ = jrun(K.parallel_smoother, F, c, Q, m_f, p_f)
 
     # build TL smoother elements and run the pallas suffix scan
     to_tl = lambda x: jnp.moveaxis(x, -3, -1)
@@ -60,7 +61,7 @@ def test_pallas_smoother_matches_reference(rng, t_len):
     (e_all, g_all, l_all), _ = _make_smoother_elements(F, c, Q, m_f, p_f)
     elems_tl = (to_tl(e_all), to_tl(g_all), to_tl(l_all))
     from markovflow_tpu.ops.pallas_scan import pallas_smoother_scan
-    m_tl, p_tl = pallas_smoother_scan(elems_tl, chunk=64, interpret=True)
+    m_tl, p_tl = jrun(pallas_smoother_scan, elems_tl, chunk=64, interpret=True)
     m_got = jnp.moveaxis(m_tl[..., 0, :], -1, -2)
     p_got = jnp.moveaxis(p_tl, -1, -3)
     assert_allclose(np.asarray(m_got), np.asarray(m_ref), atol=1e-9)
@@ -89,10 +90,10 @@ def test_pallas_scan_batched(rng):
     to_tl = lambda x: jnp.moveaxis(x, -3, -1)
     batched = tuple(jnp.stack([to_tl(r[i]) for r in elems_rows])
                     for i in range(5))
-    m_b, p_b = pallas_filter_scan(batched, chunk=64, interpret=True)
+    m_b, p_b = jrun(pallas_filter_scan, batched, chunk=64, interpret=True)
     assert m_b.shape == (B, d, 1, t_len + 1)
     for i, row in enumerate(elems_rows):
-        m_i, p_i = pallas_filter_scan(
+        m_i, p_i = jrun(pallas_filter_scan, 
             tuple(to_tl(x) for x in row), chunk=64, interpret=True)
         assert_allclose(np.asarray(m_b[i]), np.asarray(m_i), atol=1e-12)
         assert_allclose(np.asarray(p_b[i]), np.asarray(p_i), atol=1e-12)
@@ -111,10 +112,10 @@ def test_pallas_scan_d4(rng):
     nu = jnp.asarray(ys @ np.linalg.inv(R).T)
     Hs = jnp.broadcast_to(jnp.asarray(H), (t_len + 1, o, d))
     elems = K.make_filter_elements(F, c, Q, Hs, nu, lam)
-    m_ref, p_ref = K.parallel_filter(elems)
+    m_ref, p_ref = jrun(K.parallel_filter, elems)
     to_tl = lambda x: jnp.moveaxis(x, -3, -1)
     elems_tl = tuple(to_tl(x) for x in elems)
-    m_tl, p_tl = pallas_filter_scan(elems_tl, chunk=64, interpret=True)
+    m_tl, p_tl = jrun(pallas_filter_scan, elems_tl, chunk=64, interpret=True)
     m_got = jnp.moveaxis(m_tl[..., 0, :], -1, -2)
     p_got = jnp.moveaxis(p_tl, -1, -3)
     assert_allclose(np.asarray(m_got), np.asarray(m_ref), atol=1e-8)
@@ -142,8 +143,8 @@ def test_fused_pipeline_matches_xla(rng, d, o, t_len):
     from markovflow_tpu.ops.pallas_scan import pallas_filter_pipeline
 
     args = _pipeline_inputs(rng, t_len, d, o)
-    m_ref, p_ref, ll_ref = K.filter_pipeline_tl(*args)
-    m, p, ll = pallas_filter_pipeline(*args, chunk=64, interpret=True)
+    m_ref, p_ref, ll_ref = jrun(K.filter_pipeline_tl, *args)
+    m, p, ll = jrun(pallas_filter_pipeline, *args, chunk=64, interpret=True)
     assert_allclose(np.asarray(m), np.asarray(m_ref), atol=1e-9)
     assert_allclose(np.asarray(p), np.asarray(p_ref), atol=1e-9)
     assert_allclose(float(ll), float(ll_ref), rtol=1e-11)
@@ -162,10 +163,10 @@ def test_fused_pipeline_masked_and_batched(rng):
     nu = jnp.where(keep, nu, 0.0)
     lam = jnp.where(keep, lam, 0.0)
     mask = jnp.asarray(mask_np)
-    m_ref, p_ref, ll_ref = K.filter_pipeline_tl(F, c, Q, H, nu, lam,
-                                                mask=mask)
+    m_ref, p_ref, ll_ref = jrun(K.filter_pipeline_tl, F, c, Q, H,
+                                nu, lam, mask)
     maskf = jnp.broadcast_to(mask, (2, n)).astype(F.dtype)[:, None, None, :]
-    m, p, ll = pallas_filter_pipeline(F, c, Q, H, nu, lam, maskf,
+    m, p, ll = jrun(pallas_filter_pipeline, F, c, Q, H, nu, lam, maskf,
                                       chunk=64, interpret=True)
     assert_allclose(np.asarray(m), np.asarray(m_ref), atol=1e-9)
     assert_allclose(np.asarray(p), np.asarray(p_ref), atol=1e-9)
@@ -189,10 +190,10 @@ def test_fused_adjoint_matches_xla(rng):
         F = args[0]
         n = F.shape[-1]
         maskf = jnp.ones(F.shape[:-3] + (n,), F.dtype)
-        m_f, p_f, _ = K.filter_pipeline_tl(*args)
-        ref = _adjoint_grads(*args, maskf, m_f, p_f, engine="xla")
+        m_f, p_f, _ = jrun(K.filter_pipeline_tl, *args)
+        ref = jrun(_adjoint_grads, *args, maskf, m_f, p_f, engine="xla")
         g = jnp.full(F.shape[:-3], 1.7, F.dtype)
-        got = pallas_adjoint_pipeline(
+        got = jrun(pallas_adjoint_pipeline, 
             *args, maskf[..., None, None, :], m_f, p_f, g,
             chunk=64, interpret=True)
         for a, b, nm in zip(ref, got, ["F", "c", "Q", "H", "nu", "lam"]):

@@ -70,8 +70,9 @@ def test_filtered_value_and_grad_matches_full(rng):
         (x, y), Matern32(lengthscale=0.7, variance=1.2),
         jnp.asarray([[0.3]]))
     mask = trainable_mask(model)
-    loss_f, grads_f = filtered_value_and_grad(lambda m: m.loss(), model, mask)
-    loss_0, grads_0 = jax.value_and_grad(lambda m: m.loss())(model)
+    loss_f, grads_f = jax.jit(lambda mm: filtered_value_and_grad(
+        lambda m: m.loss(), mm, mask))(model)
+    loss_0, grads_0 = jax.jit(jax.value_and_grad(lambda m: m.loss()))(model)
     grads_0 = zero_untrainable(grads_0, mask)
     assert_allclose(float(loss_f), float(loss_0), rtol=1e-12)
     for a, b in zip(jax.tree_util.tree_leaves(grads_f),
