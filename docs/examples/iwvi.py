@@ -58,10 +58,11 @@ for i in range(60):
     model, state = step(model, state, sub)
 
 key, sub = jax.random.split(key)
-elbo_final = float(model.elbo(data, sub))
+elbo_final = float(jax.jit(lambda m, k: m.elbo(data, k))(model, sub))
 print(f"final IW-ELBO: {elbo_final:.2f}")
 assert elbo_final > elbo_k10
 
 # %% Posterior expectations through importance weights
-f_mean = model.posterior.expected_value(jnp.asarray(x), data, key)
+f_mean = jax.jit(lambda m, t, k: m.posterior.expected_value(t, data, k))(
+    model, jnp.asarray(x), key)
 assert np.all(np.isfinite(np.asarray(f_mean)))

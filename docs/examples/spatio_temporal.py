@@ -38,7 +38,7 @@ for _ in range(12):
 e1 = float(elbo(model))
 print(f"ELBO {e0:.1f} -> {e1:.1f}")
 assert e1 > e0
-f_mu, f_var = model.space_time_predict_f(x)
+f_mu, f_var = jax.jit(lambda m, t: m.space_time_predict_f(t))(model, x)
 rmse = float(jnp.sqrt(jnp.mean((f_mu[:, 0] - jnp.asarray(f)) ** 2)))
 print("rmse:", rmse)
 assert rmse < 0.3

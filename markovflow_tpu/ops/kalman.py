@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.linalg import small_det, small_inv, small_solve, symmetrize, tlt
-from .scans import scan_tl
+from .scans import scan_tl, unrolled_lane_ops as _unrolled_lane_ops
 
 __all__ = [
     "FilterElements",
@@ -75,17 +75,17 @@ def _from_tl(x):
     return jnp.moveaxis(x, -1, -3)
 
 
+
+
 def _mm_tl(a, b):
     """[..., d1, d2, N] @ [..., d2, d3, N] -> [..., d1, d3, N].
 
-    Unrolled to elementwise lane ops for small d: einsum's dot_general with a
-    trailing batch dim makes XLA relayout to time-middle, where every tiny
-    d x d block tile-pads to (8, 128) — measured 223x slower at T = 1e6
-    (53 ms vs 0.24 ms for the element-construction pipeline).
+    Unrolled to elementwise lane ops for small d on TPU (see
+    :func:`_unrolled_lane_ops`); einsum elsewhere.
     """
     d1, d2 = a.shape[-3], a.shape[-2]
     d3 = b.shape[-2]
-    if max(d1, d2, d3) > 6:
+    if max(d1, d2, d3) > 6 or not _unrolled_lane_ops():
         return jnp.einsum("...ijn,...jkn->...ikn", a, b)
     rows = []
     for i in range(d1):
@@ -112,6 +112,11 @@ def _inv_tl(m):
     d = m.shape[-3]
     if d == 1:
         return 1.0 / m
+    if not _unrolled_lane_ops():
+        # CPU/GPU: batched LU keeps traces small (LU is unimplemented on
+        # TPU for f64, and the relayout is catastrophic there — TPU uses
+        # the unrolled adjugate/Schur forms below)
+        return _to_tl(jnp.linalg.inv(_from_tl(m)))
     if d == 2:
         det = m[..., 0, 0, :] * m[..., 1, 1, :] - m[..., 0, 1, :] * m[..., 1, 0, :]
         row0 = jnp.stack([m[..., 1, 1, :], -m[..., 0, 1, :]], axis=-2)
@@ -191,6 +196,8 @@ def _det_tl(m):
     d = m.shape[-3]
     if d == 1:
         return m[..., 0, 0, :]
+    if not _unrolled_lane_ops():
+        return jnp.linalg.det(_from_tl(m))
     if d == 2:
         return (m[..., 0, 0, :] * m[..., 1, 1, :]
                 - m[..., 0, 1, :] * m[..., 1, 0, :])

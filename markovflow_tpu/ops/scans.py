@@ -24,16 +24,31 @@ __all__ = ["affine_scan", "affine_cov_scan", "segmented_affine_cov_scan_tl",
            "scan_tl", "CHUNK", "CHUNK_THRESHOLD"]
 
 
-def _mm(a, b):
-    """[..., d1, d2, N] @ [..., d2, d3, N] unrolled to elementwise lane ops.
+#: test hook: force the unrolled (True) or einsum/LU (False) TL forms
+FORCE_UNROLLED = None
 
-    einsum's dot_general with a trailing batch dim makes XLA relayout to
-    time-middle (tiny blocks tile-padded to (8, 128)) — measured 223x slower
-    at T = 1e6.  See ops.kalman._mm_tl.
+
+def unrolled_lane_ops() -> bool:
+    """Whether TL small-matrix ops should unroll to elementwise lane ops.
+
+    On TPU, einsum's dot_general with a trailing batch dim makes XLA
+    relayout to time-middle (tiny blocks tile-padded to (8, 128)) —
+    measured 223x slower at T = 1e6.  Everywhere else the unrolled
+    expressions explode TRACE time instead (~1.8 ms per traced op on this
+    1-core host; a d = 6 f64 ELBO was 84k jaxpr eqns / 63 s to trace via
+    the unrolls, seconds via einsum).  Decided at trace time per backend.
     """
+    if FORCE_UNROLLED is not None:
+        return FORCE_UNROLLED
+    return jax.default_backend() == "tpu"
+
+
+def _mm(a, b):
+    """[..., d1, d2, N] @ [..., d2, d3, N]: elementwise lane ops on TPU
+    (see :func:`unrolled_lane_ops`), einsum elsewhere."""
     d1, d2 = a.shape[-3], a.shape[-2]
     d3 = b.shape[-2]
-    if max(d1, d2, d3) > 6:
+    if max(d1, d2, d3) > 6 or not unrolled_lane_ops():
         return jnp.einsum("...ijn,...jkn->...ikn", a, b)
     rows = []
     for i in range(d1):

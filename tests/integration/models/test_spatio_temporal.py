@@ -1,5 +1,6 @@
 """Spatio-temporal model tests
 (pattern: reference docs notebook spatio_temporal + model consistency)."""
+import jax
 import jax.numpy as jnp
 import numpy as np
 from numpy.testing import assert_allclose
@@ -83,7 +84,8 @@ def test_st_svgp_trains(rng):
     model = model.with_dist_q(ssm)
     e1 = float(ELBO_D(model, (x, y)))
     assert np.isfinite(e1) and e1 > e0 + 5.0
-    f_mu, f_var = model.space_time_predict_f(x)
+    f_mu, f_var = jax.jit(
+        lambda m, t: m.space_time_predict_f(t))(model, x)
     rmse = float(jnp.sqrt(jnp.mean((f_mu - y) ** 2)))
     assert rmse < 0.35
     assert np.all(np.asarray(f_var) > 0)
@@ -99,6 +101,6 @@ def test_st_cvi_trains(rng):
         model = UPDATE_SITES_D(model, (x, y))
     e1 = float(ELBO_D(model, (x, y)))
     assert np.isfinite(e1) and e1 > e0 + 5.0
-    f_mu, _ = model.space_time_predict_f(x)
+    f_mu, _ = jax.jit(lambda m, t: m.space_time_predict_f(t))(model, x)
     rmse = float(jnp.sqrt(jnp.mean((f_mu - y) ** 2)))
     assert rmse < 0.35

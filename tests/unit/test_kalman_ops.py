@@ -190,3 +190,47 @@ def test_inv_det_tl_schur_blocks(rng):
         for t in range(5):
             assert_allclose(np.asarray(minv)[..., t],
                             np.linalg.inv(m[..., t]), atol=1e-8)
+
+
+def test_unrolled_tl_forms_match_einsum(rng):
+    """The TPU-unrolled TL small-matrix forms == the einsum/LU forms.
+
+    The suite runs on CPU where the einsum forms are the default; this
+    pins the unrolled variants (what the TPU backend traces) to the same
+    numbers so they keep coverage here.
+    """
+    import markovflow_tpu.ops.kalman as KK
+    import markovflow_tpu.ops.scans as KS
+    from tests.tools import jrun
+
+    ssm, _, H, R, ys = _setup(rng, T=12, d=3)
+    elems, (F, c, Q) = _site_elements(ssm, H, R, ys)
+    to_tl = lambda x: jnp.moveaxis(x, -3, -1)
+    N, o = ys.shape
+    lam = to_tl(jnp.broadcast_to(jnp.asarray(np.linalg.inv(R)), (N, o, o)))
+    nu = to_tl(jnp.asarray(ys @ np.linalg.inv(R).T)[..., None])
+    Hs = to_tl(jnp.broadcast_to(jnp.asarray(H), (N, o, H.shape[-1])))
+    args = (to_tl(F), to_tl(c[..., None]), to_tl(Q), Hs, nu, lam)
+    try:
+        KS.FORCE_UNROLLED = False
+        m0, p0, ll0 = jrun(K.filter_pipeline_tl, *args)
+        KS.FORCE_UNROLLED = True
+        m1, p1, ll1 = jax.jit(K.filter_pipeline_tl)(*args)
+    finally:
+        KS.FORCE_UNROLLED = None
+    assert_allclose(np.asarray(m1), np.asarray(m0), atol=1e-10)
+    assert_allclose(np.asarray(p1), np.asarray(p0), atol=1e-10)
+    assert_allclose(float(ll1), float(ll0), rtol=1e-12)
+    # d = 5 inverse/determinant: Schur blocking vs LU
+    m = rng.standard_normal((5, 5, 7))
+    m = m + np.swapaxes(m, 0, 1) + 10 * np.eye(5)[..., None]
+    try:
+        KS.FORCE_UNROLLED = True
+        inv_u = jax.jit(KK._inv_tl)(jnp.asarray(m))
+        det_u = jax.jit(KK._det_tl)(jnp.asarray(m))
+    finally:
+        KS.FORCE_UNROLLED = None
+    inv_l = np.stack([np.linalg.inv(m[..., k]) for k in range(7)], -1)
+    det_l = np.stack([np.linalg.det(m[..., k]) for k in range(7)], -1)
+    assert_allclose(np.asarray(inv_u), inv_l, atol=1e-9)
+    assert_allclose(np.asarray(det_u), det_l, rtol=1e-9)
