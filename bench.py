@@ -137,8 +137,13 @@ def bench_gpr_and_cvi():
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import os
+
+    from markovflow_tpu.config import setup_compilation_cache
+
+    setup_compilation_cache(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
 
     import benchmarks.run_all as cfgs
 

@@ -54,11 +54,11 @@ def _emit(metric, ms, **extra):
 def main():
     import jax
 
-    cache_dir = os.path.join(
+    from markovflow_tpu.config import setup_compilation_cache
+
+    setup_compilation_cache(os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        ".jax_cache"))
     import jax.numpy as jnp
 
     from markovflow_tpu.kernels import Matern12, Matern32

@@ -54,3 +54,33 @@ def default_jitter(dtype=None) -> float:
     """Jitter magnitude appropriate for ``dtype`` (or the default float)."""
     dtype = jnp.dtype(dtype or default_float())
     return 1e-10 if dtype == jnp.float64 else 1e-6
+
+
+def setup_compilation_cache(base_dir: str,
+                            min_compile_secs: float = 1.0) -> str:
+    """Point JAX's persistent compilation cache at a host-fingerprinted
+    subdirectory of ``base_dir`` and return it.
+
+    XLA:CPU cache entries embed AOT-compiled machine code for the
+    *compiling* host's exact CPU features, and the loader accepts
+    mismatched entries with only an error log ("This could lead to
+    execution errors such as SIGILL").  This VM can migrate between
+    physical hosts across sessions while ``base_dir`` persists, so keying
+    the directory by the host's CPU-flag fingerprint keeps every entry
+    host-local.  (Note: the loader also logs a mismatch for the
+    ``prefer-no-scatter``/``prefer-no-gather`` tuning pseudo-features even
+    for same-host entries — that particular pair is cosmetic noise.)
+    """
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((ln for ln in f if ln.startswith("flags")), "")
+    except OSError:
+        flags = _os.uname().machine
+    tag = hashlib.sha1(flags.encode()).hexdigest()[:10]
+    cache_dir = _os.path.join(base_dir, f"host-{tag}")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      float(min_compile_secs))
+    return cache_dir

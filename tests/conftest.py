@@ -21,10 +21,13 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # The suite is compile-dominated (every grad-parity test builds large
-# graphs); the persistent compilation cache makes reruns fast.
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# graphs); the persistent compilation cache makes reruns fast.  The dir is
+# host-fingerprinted: XLA:CPU entries embed host-specific AOT machine code
+# and this VM migrates between physical hosts (see config.py).
+from markovflow_tpu.config import setup_compilation_cache  # noqa: E402
+
+setup_compilation_cache(
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
