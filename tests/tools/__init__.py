@@ -42,3 +42,41 @@ CLASSIC_ELBO_D = jax.jit(lambda m, d, *a: m.classic_elbo(d, *a))
 UPDATE_SITES_D = jax.jit(lambda m, d, *a: m.update_sites(d, *a))
 LOSS_D = jax.jit(lambda m, d, *a: m.loss(d, *a))
 MARGINALS = jax.jit(lambda d: (d.marginal_means, d.marginal_covariances))
+
+
+def isolated(fn):
+    """Run this test in a fresh subprocess (re-invoking pytest on its own
+    node id).
+
+    Needed for the largest jitted interpret-mode Pallas programs: compiling
+    OR (de)serializing their executables segfaults XLA:CPU — but only in a
+    process that has already run ~200 compiles (observed at the same test
+    across four full-suite runs, in backend_compile_and_load,
+    put_executable_and_time, and get_executable_and_time respectively;
+    every isolated run passes).  A fresh heap sidesteps whatever the aged
+    process corrupts; the persistent compilation cache keeps the subprocess
+    cost to import + cache-hit."""
+    import os
+    import subprocess
+    import sys
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        if os.environ.get("_MFTPU_ISOLATED") == "1":
+            return fn(*args, **kwargs)
+        nodeid = os.environ.get("PYTEST_CURRENT_TEST", "").split(" ")[0]
+        if not nodeid:  # direct call outside pytest
+            return fn(*args, **kwargs)
+        root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        env = dict(os.environ, _MFTPU_ISOLATED="1")
+        res = subprocess.run(
+            [sys.executable, "-m", "pytest", nodeid, "-q",
+             "-p", "no:cacheprovider"],
+            env=env, cwd=root, capture_output=True, text=True, timeout=1800)
+        if res.returncode != 0:
+            raise AssertionError(
+                f"isolated subprocess for {nodeid} failed "
+                f"(rc={res.returncode}):\n{res.stdout[-4000:]}"
+                f"\n{res.stderr[-2000:]}")
+    return wrapper

@@ -7,7 +7,7 @@ from numpy.testing import assert_allclose
 from markovflow_tpu import StateSpaceModel
 from markovflow_tpu.ops import kalman as K
 from markovflow_tpu.ops.pallas_scan import pallas_filter_scan
-from tests.tools import jrun
+from tests.tools import isolated, jrun
 from tests.tools import numpy_kalman as npk
 
 
@@ -150,6 +150,7 @@ def test_fused_pipeline_matches_xla(rng, d, o, t_len):
     assert_allclose(float(ll), float(ll_ref), rtol=1e-11)
 
 
+@isolated
 def test_fused_pipeline_masked_and_batched(rng):
     from markovflow_tpu.ops.pallas_scan import pallas_filter_pipeline
 
@@ -173,6 +174,7 @@ def test_fused_pipeline_masked_and_batched(rng):
     assert_allclose(np.asarray(ll), np.asarray(ll_ref), rtol=1e-11)
 
 
+@isolated
 def test_fused_adjoint_matches_xla(rng):
     """Fused backward kernel vs the XLA adjoint stages (interpret mode)."""
     from markovflow_tpu.ops.adjoint import _adjoint_grads

@@ -12,7 +12,7 @@ import numpy as np
 import pytest
 from numpy.testing import assert_allclose
 
-from tests.tools import jrun
+from tests.tools import isolated, jrun
 
 from markovflow_tpu.ops.adjoint import (log_likelihood_koopman,
                                         log_likelihood_koopman_uniform,
@@ -38,6 +38,7 @@ def _uniform_problem(rng, n=73, d=2, o=1, batch=()):
 
 
 @pytest.mark.parametrize("batch", [(), (3,)], ids=["scalar", "b3"])
+@isolated
 def test_uniform_value_and_grads_match_general(rng, batch):
     args = _uniform_problem(rng, batch=batch)
 
@@ -78,6 +79,7 @@ def test_uniform_with_mask_matches_general(rng):
 
 
 @pytest.mark.parametrize("n", [64, 73], ids=["aligned", "padded"])
+@isolated
 def test_uniform_pallas_kernels_interpret(rng, n):
     """Interpret-mode Pallas uniform kernels vs the XLA fallback."""
     from markovflow_tpu.ops.kalman import filter_pipeline_tl
