@@ -134,9 +134,33 @@ def bench_gpr_and_cvi():
     return gpr_ms, cvi_ms, loss
 
 
-def main():
-    import jax
+def _wait_for_backend(max_wait_s: float = 900.0):
+    """The axon TPU tunnel flaps; probe backend init in a subprocess (jax
+    caches an in-process init failure permanently) and retry for a while
+    before initializing here, so a transient outage doesn't zero the
+    bench.  Returns once a probe succeeds or the budget is exhausted."""
+    import subprocess
+    import sys
 
+    t0 = time.time()
+    while True:
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, text=True, timeout=600)
+            ok = probe.returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if ok:
+            return
+        if time.time() - t0 > max_wait_s:
+            _note("backend probe still failing; proceeding anyway")
+            return
+        _note("backend probe failed; retrying in 60 s")
+        time.sleep(60.0)
+
+
+def main():
     import os
 
     from markovflow_tpu.config import setup_compilation_cache
@@ -144,6 +168,7 @@ def main():
     setup_compilation_cache(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".jax_cache"))
+    _wait_for_backend()
 
     import benchmarks.run_all as cfgs
 
