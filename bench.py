@@ -163,6 +163,8 @@ def _wait_for_backend(max_wait_s: float = 900.0):
 def main():
     import os
 
+    import jax
+
     from markovflow_tpu.config import setup_compilation_cache
 
     setup_compilation_cache(
