@@ -13,6 +13,14 @@ engines avoid them entirely via associative-scan formulations in
 
 Gradients: everything here is built from differentiable jnp/lax ops, so JAX
 autodiff replaces the C++ library's hand-written gradients.
+
+Engines: the sequential recursions accept ``engine="scan"`` (default:
+``lax.scan``, device-agnostic, autodiff) or ``engine="native"`` — the C++
+host kernels of :mod:`markovflow_tpu.native` (this build's counterpart of
+the reference's C++ ``banded_matrices`` library, with hand-written VJP
+kernels), dispatched via ``jax.pure_callback``.  The native engine is for
+host/CPU deployments; TPU hot paths use the associative-scan/Pallas
+formulations in :mod:`markovflow_tpu.ops` and never come through here.
 """
 from __future__ import annotations
 
@@ -127,12 +135,19 @@ class LowerTriangularBlockTriDiagonal(_BlockTriDiagonal):
     Reference: markovflow/block_tri_diag.py:291-382.
     """
 
-    def solve(self, rhs: jnp.ndarray, transpose_left: bool = False) -> jnp.ndarray:
+    def solve(self, rhs: jnp.ndarray, transpose_left: bool = False,
+              engine: str = "scan") -> jnp.ndarray:
         """Solve ``L x = rhs`` (or ``L^T x = rhs``) for block vector rhs [..., N, d].
 
         Block forward/backward substitution via ``lax.scan``
-        (replaces ``solve_triang_mat``, reference: block_tri_diag.py:339-351).
+        (replaces ``solve_triang_mat``, reference: block_tri_diag.py:339-351);
+        ``engine="native"`` uses the C++ host kernel instead.
         """
+        if engine == "native" and self.lower is not None:
+            from . import native
+
+            return native.solve_bidiag(self.diag, self.lower, rhs,
+                                       transpose_left)
         batch_ndim = rhs.ndim - 2
         diag_t = _move_time_front(self.diag, batch_ndim)
         rhs_t = _move_time_front(rhs, batch_ndim)
@@ -178,23 +193,29 @@ class LowerTriangularBlockTriDiagonal(_BlockTriDiagonal):
         diags = jnp.diagonal(self.diag, axis1=-2, axis2=-1)
         return jnp.sum(jnp.log(jnp.abs(diags)), axis=(-1, -2))
 
-    def block_diagonal_of_inverse(self) -> jnp.ndarray:
+    def block_diagonal_of_inverse(self, engine: str = "scan") -> jnp.ndarray:
         """Block diagonal of (L L^T)^{-1} — the Takahashi sparse-inverse recursion.
 
         Replaces ``inverse_from_cholesky_band``
         (reference: block_tri_diag.py:318-338).  Returns [..., N, d, d].
         """
-        diag_blocks, _ = self.sparse_inverse_band()
+        diag_blocks, _ = self.sparse_inverse_band(engine=engine)
         return diag_blocks
 
-    def sparse_inverse_band(self):
+    def sparse_inverse_band(self, engine: str = "scan"):
         """Band (diag, subdiag) of Z = (L L^T)^{-1}.
 
         Backward Takahashi recursion:
           Z_NN      = D_N^{-T} D_N^{-1}
           Z_{k+1,k} = -Z_{k+1,k+1} L_{k+1,k} D_k^{-1}
           Z_kk      = D_k^{-T} D_k^{-1} - Z_{k+1,k}^T L_{k+1,k} D_k^{-1}
+
+        ``engine="native"`` runs the C++ host kernel (hand-written VJP).
         """
+        if engine == "native" and self.lower is not None:
+            from . import native
+
+            return native.sparse_inverse_band(self.diag, self.lower)
         d = self.block_dim
         eye = jnp.eye(d, dtype=self.diag.dtype)
         solve = jax.scipy.linalg.solve_triangular
@@ -245,12 +266,18 @@ class SymmetricBlockTriDiagonal(_BlockTriDiagonal):
     def add_block_diagonal(self, blocks: jnp.ndarray) -> "SymmetricBlockTriDiagonal":
         return SymmetricBlockTriDiagonal(self.diag + blocks, self.lower)
 
-    def cholesky(self) -> LowerTriangularBlockTriDiagonal:
+    def cholesky(self, engine: str = "scan") -> LowerTriangularBlockTriDiagonal:
         """Block Cholesky L with P = L L^T, L block-bidiagonal.
 
         Sequential-scan reference implementation of ``cholesky_band``
-        (reference: block_tri_diag.py:424-436).
+        (reference: block_tri_diag.py:424-436); ``engine="native"`` runs the
+        C++ host kernel (hand-written VJP).
         """
+        if engine == "native" and self.lower is not None:
+            from . import native
+
+            l_diag, l_lower = native.cholesky_bidiag(self.diag, self.lower)
+            return LowerTriangularBlockTriDiagonal(l_diag, l_lower)
         if self.lower is None:
             return LowerTriangularBlockTriDiagonal(jnp.linalg.cholesky(self.diag))
         batch_ndim = self.diag.ndim - 3
@@ -399,8 +426,11 @@ class SymmetricBlockTriDiagonal(_BlockTriDiagonal):
                                           axis=(-1, -2))
         return total
 
-    def upper_diagonal_lower(self):
+    def upper_diagonal_lower(self, engine: str = "scan"):
         """Factor P = U D U^T with U unit-upper-block-bidiagonal, D block-diag.
+
+        ``engine="native"`` runs the C++ host kernel (forward only — use
+        the scan engine under ``grad``).
 
         Backward Riccati recursion (replaces the reference's ``tf.while_loop``
         at block_tri_diag.py:438-545):
@@ -413,6 +443,10 @@ class SymmetricBlockTriDiagonal(_BlockTriDiagonal):
         """
         if self.lower is None:
             return None, jnp.linalg.cholesky(self.diag)
+        if engine == "native":
+            from . import native
+
+            return native.udu(self.diag, self.lower)
         batch_ndim = self.diag.ndim - 3
         diag_t = _move_time_front(self.diag, batch_ndim)
         lower_t = _move_time_front(self.lower, batch_ndim)
