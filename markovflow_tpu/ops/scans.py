@@ -122,6 +122,13 @@ def _chunked_scan_tl(combine, identity_like, elems, reverse: bool = False):
         return new_carry, out
 
     init = identity_like(tuple(c[0] for c in chunks))
+    # Under shard_map the constant identity init is vma-REPLICATED while the
+    # body's output carry varies over the mapped axes, and lax.scan requires
+    # the two types to match.  A statically-false select against the
+    # (varying) chunk data gives the init the data's varying type without
+    # changing its value (and folds away outside shard_map).
+    init = tuple(jnp.where(jnp.zeros((), bool), c[0][..., :1], i)
+                 for i, c in zip(init, chunks))
     _, outs = jax.lax.scan(body, init, chunks, reverse=reverse)
 
     def merge(x):

@@ -116,3 +116,31 @@ def test_sharded_koopman_grads_match_unsharded(rng):
     assert_allclose(float(v), float(v_ref), rtol=1e-12)
     for a, b in zip(g_ref, g):
         assert_allclose(np.asarray(b), np.asarray(a), atol=1e-9)
+
+
+def test_sharded_koopman_chunked_local_scan(rng, monkeypatch):
+    """Local shards longer than CHUNK_THRESHOLD take the chunked lax.scan
+    inside shard_map — its identity init carry must carry the mapped axes'
+    varying type (regression: vma mismatch at shard length > threshold)."""
+    from markovflow_tpu.ops import scans
+    from markovflow_tpu.ops.adjoint import log_likelihood_koopman
+    from markovflow_tpu.parallel.collective_scan import (
+        sharded_log_likelihood_koopman,
+    )
+
+    monkeypatch.setattr(scans, "CHUNK_THRESHOLD", 8)
+    monkeypatch.setattr(scans, "CHUNK", 8)
+    args = _tl_inputs(rng, 127, 2)  # 64 per shard >> threshold
+    v_ref, g_ref = jax.jit(jax.value_and_grad(
+        lambda *a: log_likelihood_koopman(*a, engine="xla"),
+        argnums=(0, 1, 2, 4, 5)))(*args)
+
+    mesh = make_mesh(dp=1, sp=2)
+    sharded = _shard_time(mesh, args)
+    with mesh:
+        v, g = jax.jit(jax.value_and_grad(
+            lambda *a: sharded_log_likelihood_koopman(*a, mesh=mesh),
+            argnums=(0, 1, 2, 4, 5)))(*sharded)
+    assert_allclose(float(v), float(v_ref), rtol=1e-12)
+    for a, b in zip(g_ref, g):
+        assert_allclose(np.asarray(b), np.asarray(a), atol=1e-9)
