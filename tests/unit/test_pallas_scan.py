@@ -29,7 +29,7 @@ def test_pallas_scan_matches_reference(rng, d, t_len):
 
     to_tl = lambda x: jnp.moveaxis(x, -3, -1)
     elems_tl = tuple(to_tl(x) for x in elems)
-    m_tl, p_tl = jrun(pallas_filter_scan, elems_tl, chunk=64, interpret=True)
+    m_tl, p_tl = jrun(pallas_filter_scan, elems_tl, chunk=16, r_blk=4, interpret=True)
     m_got = jnp.moveaxis(m_tl[..., 0, :], -1, -2)
     p_got = jnp.moveaxis(p_tl, -1, -3)
     assert_allclose(np.asarray(m_got), np.asarray(m_ref), atol=1e-9)
@@ -61,7 +61,7 @@ def test_pallas_smoother_matches_reference(rng, t_len):
     (e_all, g_all, l_all), _ = _make_smoother_elements(F, c, Q, m_f, p_f)
     elems_tl = (to_tl(e_all), to_tl(g_all), to_tl(l_all))
     from markovflow_tpu.ops.pallas_scan import pallas_smoother_scan
-    m_tl, p_tl = jrun(pallas_smoother_scan, elems_tl, chunk=64, interpret=True)
+    m_tl, p_tl = jrun(pallas_smoother_scan, elems_tl, chunk=16, r_blk=4, interpret=True)
     m_got = jnp.moveaxis(m_tl[..., 0, :], -1, -2)
     p_got = jnp.moveaxis(p_tl, -1, -3)
     assert_allclose(np.asarray(m_got), np.asarray(m_ref), atol=1e-9)
@@ -90,11 +90,11 @@ def test_pallas_scan_batched(rng):
     to_tl = lambda x: jnp.moveaxis(x, -3, -1)
     batched = tuple(jnp.stack([to_tl(r[i]) for r in elems_rows])
                     for i in range(5))
-    m_b, p_b = jrun(pallas_filter_scan, batched, chunk=64, interpret=True)
+    m_b, p_b = jrun(pallas_filter_scan, batched, chunk=16, r_blk=4, interpret=True)
     assert m_b.shape == (B, d, 1, t_len + 1)
     for i, row in enumerate(elems_rows):
         m_i, p_i = jrun(pallas_filter_scan, 
-            tuple(to_tl(x) for x in row), chunk=64, interpret=True)
+            tuple(to_tl(x) for x in row), chunk=16, r_blk=4, interpret=True)
         assert_allclose(np.asarray(m_b[i]), np.asarray(m_i), atol=1e-12)
         assert_allclose(np.asarray(p_b[i]), np.asarray(p_i), atol=1e-12)
 
@@ -115,7 +115,7 @@ def test_pallas_scan_d4(rng):
     m_ref, p_ref = jrun(K.parallel_filter, elems)
     to_tl = lambda x: jnp.moveaxis(x, -3, -1)
     elems_tl = tuple(to_tl(x) for x in elems)
-    m_tl, p_tl = jrun(pallas_filter_scan, elems_tl, chunk=64, interpret=True)
+    m_tl, p_tl = jrun(pallas_filter_scan, elems_tl, chunk=16, r_blk=4, interpret=True)
     m_got = jnp.moveaxis(m_tl[..., 0, :], -1, -2)
     p_got = jnp.moveaxis(p_tl, -1, -3)
     assert_allclose(np.asarray(m_got), np.asarray(m_ref), atol=1e-8)
@@ -144,7 +144,7 @@ def test_fused_pipeline_matches_xla(rng, d, o, t_len):
 
     args = _pipeline_inputs(rng, t_len, d, o)
     m_ref, p_ref, ll_ref = jrun(K.filter_pipeline_tl, *args)
-    m, p, ll = jrun(pallas_filter_pipeline, *args, chunk=64, interpret=True)
+    m, p, ll = jrun(pallas_filter_pipeline, *args, chunk=16, r_blk=4, interpret=True)
     assert_allclose(np.asarray(m), np.asarray(m_ref), atol=1e-9)
     assert_allclose(np.asarray(p), np.asarray(p_ref), atol=1e-9)
     assert_allclose(float(ll), float(ll_ref), rtol=1e-11)
@@ -168,7 +168,7 @@ def test_fused_pipeline_masked_and_batched(rng):
                                 nu, lam, mask)
     maskf = jnp.broadcast_to(mask, (2, n)).astype(F.dtype)[:, None, None, :]
     m, p, ll = jrun(pallas_filter_pipeline, F, c, Q, H, nu, lam, maskf,
-                                      chunk=64, interpret=True)
+                                      chunk=16, r_blk=4, interpret=True)
     assert_allclose(np.asarray(m), np.asarray(m_ref), atol=1e-9)
     assert_allclose(np.asarray(p), np.asarray(p_ref), atol=1e-9)
     assert_allclose(np.asarray(ll), np.asarray(ll_ref), rtol=1e-11)
@@ -197,7 +197,7 @@ def test_fused_adjoint_matches_xla(rng):
         g = jnp.full(F.shape[:-3], 1.7, F.dtype)
         got = jrun(pallas_adjoint_pipeline, 
             *args, maskf[..., None, None, :], m_f, p_f, g,
-            chunk=64, interpret=True)
+            chunk=16, r_blk=4, interpret=True)
         for a, b, nm in zip(ref, got, ["F", "c", "Q", "H", "nu", "lam"]):
             assert_allclose(np.asarray(b), 1.7 * np.asarray(a), atol=1e-8,
                             err_msg=f"fused adjoint mismatch {nm} "

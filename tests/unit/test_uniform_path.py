@@ -91,7 +91,7 @@ def test_uniform_pallas_kernels_interpret(rng, n):
     maskf = jnp.ones((1, 1, n), nu.dtype)
     m_k, p_k, ll_k = jrun(pallas_filter_pipeline_uniform,
                           fc, cc, qc, mu0, p0, hc, nu, lam, maskf,
-                          chunk=64, interpret=True)
+                          chunk=16, r_blk=4, interpret=True)
     F, c, Q, H = _materialize_uniform(fc, cc, qc, mu0, p0, hc, n)
     m_x, p_x, ll_x = jrun(filter_pipeline_tl, F, c, Q, H, nu, lam,
                           maskf[..., 0, 0, :] > 0.5)
@@ -102,7 +102,7 @@ def test_uniform_pallas_kernels_interpret(rng, n):
     g = jnp.asarray(1.3, nu.dtype)
     grads_k = jrun(pallas_adjoint_pipeline_uniform,
                    fc, cc, qc, mu0, p0, hc, nu, lam, maskf, m_x, p_x, g,
-                   chunk=64, interpret=True)
+                   chunk=16, r_blk=4, interpret=True)
     g_f, g_c, g_q, g_h, g_nu, g_lam = jrun(
         _adjoint_grads, F, c, Q, H, nu, lam, maskf[..., 0, 0, :], m_x, p_x)
     red = lambda x: jnp.sum(g * x, axis=-1, keepdims=True)
