@@ -414,8 +414,10 @@ def _pipeline_kernel(f_ref, c_ref, q_ref, h_ref, nu_ref, lam_ref, mk_ref,
     outs_m, outs_p = out_blk[1], out_blk[2]           # [d, 1/d, R, L]
     # previous filtered state for r = 0: last row of the previous lane,
     # lane 0 taken from the cross-chunk carry (b/C of the carry element)
-    last_m = pltpu.roll(outs_m[:, :, -1, :], 1, 2)
-    last_p = pltpu.roll(outs_p[:, :, -1, :], 1, 2)
+    # NB: bare negative int indices on kernel *values* lower to
+    # dynamic_slice, which Mosaic does not implement — use positive ones.
+    last_m = pltpu.roll(outs_m[:, :, r_blk - 1, :], 1, 2)
+    last_p = pltpu.roll(outs_p[:, :, r_blk - 1, :], 1, 2)
     lane0 = lane_b[:1] < 1                           # [1, db, lanes]
     prev_m0 = jnp.where(lane0, jnp.broadcast_to(carry[1], last_m.shape),
                         last_m)
@@ -941,8 +943,8 @@ def _uniform_pipeline_kernel(fc_ref, cc_ref, qc_ref, m0_ref, p0_ref, h_ref,
     exc_b = tuple(x[:, :, None, :] for x in exc)
     out_blk = _combine(exc_b, pref_blk)
     outs_m, outs_p = out_blk[1], out_blk[2]
-    last_m = pltpu.roll(outs_m[:, :, -1, :], 1, 2)
-    last_p = pltpu.roll(outs_p[:, :, -1, :], 1, 2)
+    last_m = pltpu.roll(outs_m[:, :, r_blk - 1, :], 1, 2)
+    last_p = pltpu.roll(outs_p[:, :, r_blk - 1, :], 1, 2)
     lane0 = lane_b[:1] < 1
     prev_m0 = jnp.where(lane0, jnp.broadcast_to(carry[1], last_m.shape),
                         last_m)
