@@ -160,8 +160,16 @@ def _sym(a):
 
 def _eye(d, like):
     """Identity matrix shaped [d, d] + (1,)*trailing, broadcastable against
-    ``like`` ([d, d, L] slices and [d, d, R, L] full blocks alike)."""
-    return jnp.eye(d, dtype=like.dtype).reshape((d, d) + (1,) * (like.ndim - 2))
+    ``like`` ([d, d, L] slices and [d, d, R, L] full blocks alike).
+
+    Built from broadcasted_iota at the target rank: reshaping a 2-D
+    ``jnp.eye`` constant to a higher rank lowers to a ``tpu.reshape`` that
+    appends unit dims after the (sublane, lane) pair, which Mosaic's
+    infer-vector-layout rejects ("unsupported shape cast")."""
+    shape = (d, d) + (1,) * (like.ndim - 2)
+    r = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return (r == c).astype(like.dtype)
 
 
 def _make_elem_slice(f, cv, q, h, nu, lam):
@@ -233,8 +241,16 @@ def _combine(x, y):
     return a, b, c, j, eta
 
 
+def _eye3(d, lanes, dtype):
+    """[d, d, lanes] identity stack via iota (no rank-changing reshape of a
+    2-D constant — see _eye for why Mosaic requires this form)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (d, d, lanes), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (d, d, lanes), 1)
+    return (r == c).astype(dtype)
+
+
 def _identity_elem(d, db, lanes, dtype):
-    eye = jnp.broadcast_to(jnp.eye(d, dtype=dtype)[..., None], (d, d, lanes))
+    eye = _eye3(d, lanes, dtype)
     zb = jnp.zeros((d, db, lanes), dtype)
     zm = jnp.zeros((d, d, lanes), dtype)
     return (eye, zb, zm, zm, zb)
@@ -251,8 +267,7 @@ def _combine_smoother(later, earlier):
 
 
 def _smoother_identity(d, db, lanes, dtype):
-    eye = jnp.broadcast_to(jnp.eye(d, dtype=dtype)[..., None], (d, d, lanes))
-    return (eye, jnp.zeros((d, db, lanes), dtype),
+    return (_eye3(d, lanes, dtype), jnp.zeros((d, db, lanes), dtype),
             jnp.zeros((d, d, lanes), dtype))
 
 
@@ -1138,16 +1153,22 @@ def _uniform_adjoint_kernel(fc_ref, cc_ref, qc_ref, m0_ref, p0_ref, h_ref,
         r_stack, ndk_stack)
     gnu_ref[0] = gs * g_nu
     glam_ref[0] = gs * g_lam
-    # constant-input gradients: broadcast VJP = sum over real steps
+    # constant-input gradients: broadcast VJP = sum over real steps.
+    # Mosaic cannot lower a (d, d, R, L) -> (d, d) multi_reduction (the
+    # leading dims would have to move into the tiled pair); keepdims
+    # reductions one axis at a time lower fine and the ref slot keeps its
+    # (d, d, 1, 1) block shape.
     valid = g >= pad
     sel = valid & jnp.logical_not(first)
-    ssum = lambda x, m: gs * jnp.sum(jnp.where(m, x, zero), axis=(2, 3))
-    gf_ref[0, :, :, 0, 0] += ssum(g_f, sel)
-    gc_ref[0, :, :, 0, 0] += ssum(g_c, sel)
-    gq_ref[0, :, :, 0, 0] += ssum(g_q, sel)
-    gm0_ref[0, :, :, 0, 0] += ssum(g_c, first)
-    gp0_ref[0, :, :, 0, 0] += ssum(g_q, first)
-    gh_ref[0, :, :, 0, 0] += ssum(g_h, valid)
+    ssum = lambda x, m: gs * jnp.sum(
+        jnp.sum(jnp.where(m, x, zero), axis=3, keepdims=True),
+        axis=2, keepdims=True)
+    gf_ref[0] += ssum(g_f, sel)
+    gc_ref[0] += ssum(g_c, sel)
+    gq_ref[0] += ssum(g_q, sel)
+    gm0_ref[0] += ssum(g_c, first)
+    gp0_ref[0] += ssum(g_q, first)
+    gh_ref[0] += ssum(g_h, valid)
 
     exc_first = tuple(x[..., :1] for x in exc)
     suf_first = tuple(x[..., :1] for x in suf[0])
