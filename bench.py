@@ -101,11 +101,13 @@ def bench_gpr_and_cvi():
 
     try:
         gpr_ms = _slope(grad_step, (gpr,))
+        gpr_engine = "pallas-uniform"
     except Exception as e:  # uniform kernels failed: fall back, keep bench
         _note(f"uniform GPR path failed ({type(e).__name__}); "
               "falling back to the general engine")
         gpr = make_gpr(uniform=False)
         gpr_ms = _slope(grad_step, (gpr,))
+        gpr_engine = "general-fallback"
     loss = float(jax.jit(lambda m: m.loss())(gpr))
 
     cvi = CVIGaussianProcess(
@@ -126,12 +128,14 @@ def bench_gpr_and_cvi():
 
     try:
         cvi_ms = _slope(cvi_step, (cvi,))
+        cvi_engine = "pallas-uniform"
     except Exception as e:
         _note(f"uniform CVI path failed ({type(e).__name__}); "
               "falling back to the general engine")
         object.__setattr__(cvi, "_uniform_grid", False)
         cvi_ms = _slope(cvi_step, (cvi,))
-    return gpr_ms, cvi_ms, loss
+        cvi_engine = "general-fallback"
+    return gpr_ms, cvi_ms, loss, gpr_engine, cvi_engine
 
 
 def _wait_for_backend(max_wait_s: float = 900.0):
@@ -176,10 +180,16 @@ def main():
 
     configs = {}
     _note("bench: gpr+cvi ...")
-    gpr_ms, cvi_ms, loss = bench_gpr_and_cvi()
-    _note(f"bench: gpr {gpr_ms:.3f} ms, cvi {cvi_ms:.3f} ms")
+    gpr_ms, cvi_ms, loss, gpr_engine, cvi_engine = bench_gpr_and_cvi()
+    _note(f"bench: gpr {gpr_ms:.3f} ms [{gpr_engine}], "
+          f"cvi {cvi_ms:.3f} ms [{cvi_engine}]")
     configs["gpr_T1e6_f32_ms"] = round(gpr_ms, 3)
     configs["cvi_T1e6_f32_ms"] = round(cvi_ms, 3)
+    # which engine actually compiled on the chip: "general-fallback" here
+    # means the fused Pallas kernels failed Mosaic backend compile (the
+    # cross-platform .lower() tests cannot catch that) — treat as a red flag
+    configs["gpr_engine"] = gpr_engine
+    configs["cvi_engine"] = cvi_engine
     _note("bench: sde ...")
     try:
         configs["sde_doublewell_n16384_f32_ms"] = round(

@@ -6,9 +6,17 @@ e.g. a bare negative int index on a kernel value lowers to dynamic_slice,
 unimplemented on the TC kernel type (this exact bug shipped once: the
 fused pipelines crashed on the real chip while every interpret test was
 green).  AOT cross-platform lowering (`.trace(...).lower(platforms)`)
-runs the full Mosaic pipeline from the CPU test environment, so every
+runs the Mosaic *frontend* from the CPU test environment, so every
 production kernel entry point is lowered for TPU here with
 production-shaped blocks (r_blk x lanes = 32 x 128).
+
+KNOWN LIMIT: `.lower()` stops at the serialized Mosaic module; the
+backend passes (infer-vector-layout etc.) only run at device compile,
+so layout-inference rejections (e.g. rank-extending reshapes of 2-D
+constants, leading-dims multi_reductions) pass these tests and still
+fail on hardware.  The driver-visible guard for that class is the
+engine tag in bench.py's JSON ("general-fallback" = Mosaic backend
+compile failed on the chip).
 """
 from __future__ import annotations
 
