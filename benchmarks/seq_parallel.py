@@ -79,14 +79,15 @@ def main():
             mesh = make_mesh(dp=1, sp=sp)
             shard = NamedSharding(mesh, P("sp"))
             base = model_for(t_len)
-            # Force the general (per-step prior arrays) engine: this study
-            # compares SPMD-partitioned vs explicit-collective scans on the
-            # same workload, not the uniform-grid representation.
-            object.__setattr__(base, "_uniform_grid", False)
             base = base.replace(
                 time_points=jax.device_put(base.time_points, shard),
                 observations=jax.device_put(
-                    base.observations, NamedSharding(mesh, P("sp", None))))
+                    base.observations, NamedSharding(mesh, P("sp", None))),
+                # Force the general (per-step prior arrays) engine: this
+                # study compares SPMD-partitioned vs explicit-collective
+                # scans on the same workload, not the uniform-grid
+                # representation.
+                _uniform_grid=False)
             ms_spmd = time_step(base)
             col = base.replace(grad_engine="collective", mesh=mesh,
                                shard_axis="sp")

@@ -37,13 +37,11 @@ def main(t_len: int = 100_000) -> None:
     yj = jnp.asarray(y, jnp.float32)
 
     def make(uniform: bool):
-        m = GaussianProcessRegression(
+        return GaussianProcessRegression(
             input_data=(x.astype(np.float32), yj),
             kernel=Matern32(lengthscale=0.5, variance=1.0),
-            chol_obs_covariance=jnp.asarray([[0.2]], jnp.float32))
-        if not uniform:
-            object.__setattr__(m, "_uniform_grid", False)
-        return m
+            chol_obs_covariance=jnp.asarray([[0.2]], jnp.float32),
+            uniform_grid=None if uniform else False)
 
     mask = trainable_mask(make(True))
 

@@ -27,7 +27,8 @@ class GaussianProcessRegression(MarkovFlowModel):
                  kernel: SDEKernel, chol_obs_covariance: jnp.ndarray,
                  mean_function: Optional[MeanFunction] = None,
                  grad_engine: str = "koopman", mesh=None,
-                 shard_axis: str = "sp"):
+                 shard_axis: str = "sp",
+                 uniform_grid: Optional[bool] = None):
         """input_data: (time_points [..., N], observations [..., N, o]);
         chol_obs_covariance [o, o] (reference: gaussian_process_regression.py:54-96).
 
@@ -39,7 +40,15 @@ class GaussianProcessRegression(MarkovFlowModel):
         well-separated time points only); "collective" runs the Koopman
         score with explicit-collective sequence parallelism over ``mesh``'s
         ``shard_axis`` dimension (shard the data over that axis with
-        ``parallel.shard_batched_series`` or a NamedSharding)."""
+        ``parallel.shard_batched_series`` or a NamedSharding).
+
+        ``uniform_grid``: the stationary uniform-grid fast path (constant
+        prior-step arrays — no [d, d, N] materialization).  ``None``
+        (default) auto-detects from concrete (host-inspectable) time points;
+        ``False`` forces the general engine; ``True`` asserts eligibility
+        (raises unless the grid detects as uniform and the kernel is
+        stationary).  The flag is static (part of the jit cache key) and is
+        re-detected by ``.replace(time_points=...)`` / ``.replace(kernel=...)``."""
         self.time_points, self.observations = input_data
         check_time_points(self.time_points)
         obs_shape = jnp.shape(self.observations)
@@ -55,16 +64,30 @@ class GaussianProcessRegression(MarkovFlowModel):
         self.grad_engine = grad_engine
         self.mesh = mesh
         self.shard_axis = shard_axis
-        # Static flag (part of the jit cache key): detected once from the
-        # CONCRETE time points at construction.  Enables the stationary
-        # uniform-grid fast path — constant prior-step arrays, no [d, d, N]
-        # materialization (see kernels.StationaryKernel.prior_const_tl).
-        # Pass numpy time points to enable it for device-resident workflows;
-        # if you swap in non-uniform time points via .replace(), construct a
-        # fresh model instead (the flag is not re-detected).
-        self._uniform_grid = (
-            is_uniform_grid(self.time_points)
-            and hasattr(kernel, "prior_const_tl") and mesh is None)
+        # Static flag (part of the jit cache key): detected from the CONCRETE
+        # time points (pass numpy time points to enable the fast path for
+        # device-resident workflows), overridable via ``uniform_grid=``.
+        detected = (is_uniform_grid(self.time_points)
+                    and hasattr(kernel, "prior_const_tl") and mesh is None)
+        if uniform_grid and not detected:
+            raise ValueError(
+                "uniform_grid=True requires host-inspectable, evenly spaced "
+                "time points, a stationary kernel and no mesh")
+        self._uniform_grid = detected if uniform_grid is None \
+            else bool(uniform_grid)
+
+    def replace(self, **updates):
+        """Copy with attributes replaced; re-detects the uniform-grid flag
+        when the time points or the kernel change (pass ``_uniform_grid=``
+        explicitly to pin it)."""
+        new = super().replace(**updates)
+        if ("_uniform_grid" not in updates
+                and ({"time_points", "kernel", "mesh"} & updates.keys())):
+            object.__setattr__(new, "_uniform_grid", (
+                is_uniform_grid(new.time_points)
+                and hasattr(new.kernel, "prior_const_tl")
+                and new.mesh is None))
+        return new
 
     def _residual(self):
         """Observations minus the mean function

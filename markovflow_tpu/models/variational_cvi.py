@@ -64,12 +64,18 @@ class GaussianProcessWithSitesBase(MarkovFlowModel):
                  kernel: SDEKernel, likelihood: Likelihood,
                  mean_function: Optional[MeanFunction] = None,
                  sites: Optional[UnivariateGaussianSitesNat] = None,
-                 grad_engine: str = "koopman"):
+                 grad_engine: str = "koopman",
+                 uniform_grid: Optional[bool] = None):
         """``grad_engine`` selects the VJP of the site-model marginal
         likelihood (the ELBO / energy surrogate) — see
         :meth:`BaseKalmanFilter.log_likelihood`.  "koopman" (default) is the
         analytic prediction-error score; "autodiff" differentiates through
-        the scans (needed for forward-mode use)."""
+        the scans (needed for forward-mode use).
+
+        ``uniform_grid``: stationary uniform-grid fast path — ``None``
+        auto-detects from concrete time points, ``False`` forces the general
+        engine, ``True`` asserts eligibility (see
+        :class:`GaussianProcessRegression`)."""
         self.time_points, self.observations = input_data
         check_time_points(self.time_points)
         self.kernel = kernel
@@ -84,9 +90,26 @@ class GaussianProcessWithSitesBase(MarkovFlowModel):
         # Static flag: stationary uniform-grid fast path (constant prior
         # steps, per-step sites; see GaussianProcessRegression for the
         # detection contract — pass numpy time points to enable on device).
-        self._uniform_grid = (
-            is_uniform_grid(self.time_points)
-            and hasattr(kernel, "prior_const_tl"))
+        detected = (is_uniform_grid(self.time_points)
+                    and hasattr(kernel, "prior_const_tl"))
+        if uniform_grid and not detected:
+            raise ValueError(
+                "uniform_grid=True requires host-inspectable, evenly spaced "
+                "time points and a stationary kernel")
+        self._uniform_grid = detected if uniform_grid is None \
+            else bool(uniform_grid)
+
+    def replace(self, **updates):
+        """Copy with attributes replaced; re-detects the uniform-grid flag
+        when the time points or the kernel change (pass ``_uniform_grid=``
+        explicitly to pin it)."""
+        new = super().replace(**updates)
+        if ("_uniform_grid" not in updates
+                and ({"time_points", "kernel"} & updates.keys())):
+            object.__setattr__(new, "_uniform_grid", (
+                is_uniform_grid(new.time_points)
+                and hasattr(new.kernel, "prior_const_tl")))
+        return new
 
     @property
     def dist_p(self) -> StateSpaceModel:
@@ -172,8 +195,11 @@ class CVIGaussianProcess(GaussianProcessWithSitesBase):
     """(reference: variational_cvi.py:233-420)."""
 
     def __init__(self, input_data, kernel, likelihood, mean_function=None,
-                 learning_rate: float = 0.1, sites=None):
-        super().__init__(input_data, kernel, likelihood, mean_function, sites)
+                 learning_rate: float = 0.1, sites=None,
+                 grad_engine: str = "koopman",
+                 uniform_grid: Optional[bool] = None):
+        super().__init__(input_data, kernel, likelihood, mean_function, sites,
+                         grad_engine=grad_engine, uniform_grid=uniform_grid)
         self.learning_rate = learning_rate
 
     def local_objective(self, f_mu, f_var, y):

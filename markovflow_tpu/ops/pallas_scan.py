@@ -36,9 +36,11 @@ Autodiff-through-the-scan paths use the XLA scans in
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -80,6 +82,20 @@ PALLAS_CHUNK = 4096
 PALLAS_BLOCK = 32
 
 
+def _roll(t, k, axis):
+    """pltpu.roll with the shift pinned to i32.  Under jax_enable_x64 a bare
+    Python-int shift traces as i64 and Mosaic's tpu.dynamic_rotate requires a
+    32-bit signless shift — so every in-kernel roll goes through here."""
+    return pltpu.roll(t, np.int32(k), axis)
+
+
+def _c(val, like):
+    """Dtype-matched scalar constant.  Weak-typed Python floats inside the
+    kernels promote to f64 under jax_enable_x64, and Mosaic cannot lower the
+    resulting f64->f32 casts — so every in-kernel literal goes through here."""
+    return jnp.asarray(val, like.dtype)
+
+
 def _mm(a, b):
     """[d1, d2, L] @ [d2, d3, L] with the matmul unrolled to elementwise
     lane ops (Mosaic requires batch dims at position 0, so no dot_general)."""
@@ -104,7 +120,7 @@ def _t(a):
 def _inv(m):
     d = m.shape[0]
     if d == 1:
-        return 1.0 / m
+        return _c(1.0, m) / m
     if d == 2:
         det = m[0, 0] * m[1, 1] - m[0, 1] * m[1, 0]
         row0 = jnp.stack([m[1, 1], -m[0, 1]])
@@ -155,7 +171,7 @@ def _det(m):
 
 
 def _sym(a):
-    return 0.5 * (a + _t(a))
+    return _c(0.5, a) * (a + _t(a))
 
 
 def _eye(d, like):
@@ -211,16 +227,16 @@ def _ll_slice(f, cv, q, h, nu, lam, maskf, pm, pp):
     hm = _mm(h, m_pred)
     hpht = _mm(h, _mm(p_pred, _t(h)))
     w = nu - _mm(lam, hm)
-    keep = maskf > 0.5                               # [1, 1, (R,) L]
+    keep = maskf > _c(0.5, maskf)                    # [1, 1, (R,) L]
     m_mat = jnp.where(keep, lam + _mm(lam, _mm(hpht, lam)), eye_o)
     lam_safe = jnp.where(keep, lam, eye_o)
     sol = _mm(_inv(m_mat), w)
     quad = jnp.sum(w * sol, axis=(0, 1))             # [(R,) L]
     log_det_s = jnp.log(jnp.abs(_det(eye_o + _mm(hpht, lam_safe)))) - \
         jnp.log(jnp.abs(_det(lam_safe)))
-    ll = -0.5 * (quad + log_det_s
-                 + o * jnp.log(jnp.asarray(2.0 * jnp.pi, f.dtype)))
-    return jnp.where(keep[0, 0], ll, 0.0)
+    ll = _c(-0.5, f) * (quad + log_det_s
+                        + _c(o * math.log(2.0 * math.pi), f))
+    return jnp.where(keep[0, 0], ll, _c(0.0, f))
 
 
 def _combine(x, y):
@@ -323,13 +339,13 @@ def _filter_kernel(a_ref, b_ref, c_ref, j_ref, e_ref, mb_ref, pc_ref,
     tot = pref[-1]
     k = 1
     while k < lanes:
-        shifted = tuple(pltpu.roll(t, k, 2) for t in tot)
+        shifted = tuple(_roll(t, k, 2) for t in tot)
         shifted = tuple(jnp.where(m < k, idl, s)
                         for m, idl, s in zip(masks, ident, shifted))
         tot = _combine(shifted, tot)
         k *= 2
     # exclusive lane prefix, then fold in the cross-chunk carry
-    excl = tuple(pltpu.roll(t, 1, 2) for t in tot)
+    excl = tuple(_roll(t, 1, 2) for t in tot)
     excl = tuple(jnp.where(m < 1, idl, s)
                  for m, idl, s in zip(masks, ident, excl))
     carry = (carry_a[...], carry_b[...], carry_c[...], carry_j[...],
@@ -406,12 +422,12 @@ def _pipeline_kernel(f_ref, c_ref, q_ref, h_ref, nu_ref, lam_ref, mk_ref,
     tot = pref[-1]
     k = 1
     while k < lanes:
-        shifted = tuple(pltpu.roll(t, k, 2) for t in tot)
+        shifted = tuple(_roll(t, k, 2) for t in tot)
         shifted = tuple(jnp.where(m < k, idl, s)
                         for m, idl, s in zip(masks, ident, shifted))
         tot = _combine(shifted, tot)
         k *= 2
-    excl = tuple(pltpu.roll(t, 1, 2) for t in tot)
+    excl = tuple(_roll(t, 1, 2) for t in tot)
     excl = tuple(jnp.where(m < 1, idl, s)
                  for m, idl, s in zip(masks, ident, excl))
     carry = (carry_a[...], carry_b[...], carry_c[...], carry_j[...],
@@ -431,8 +447,8 @@ def _pipeline_kernel(f_ref, c_ref, q_ref, h_ref, nu_ref, lam_ref, mk_ref,
     # lane 0 taken from the cross-chunk carry (b/C of the carry element)
     # NB: bare negative int indices on kernel *values* lower to
     # dynamic_slice, which Mosaic does not implement — use positive ones.
-    last_m = pltpu.roll(outs_m[:, :, r_blk - 1, :], 1, 2)
-    last_p = pltpu.roll(outs_p[:, :, r_blk - 1, :], 1, 2)
+    last_m = _roll(outs_m[:, :, r_blk - 1, :], 1, 2)
+    last_p = _roll(outs_p[:, :, r_blk - 1, :], 1, 2)
     lane0 = lane_b[:1] < 1                           # [1, db, lanes]
     prev_m0 = jnp.where(lane0, jnp.broadcast_to(carry[1], last_m.shape),
                         last_m)
@@ -492,13 +508,13 @@ def _smoother_kernel(e_ref, g_ref, l_ref, mg_ref, pl_ref,
     tot = suf[0]
     k = 1
     while k < lanes:
-        shifted = tuple(pltpu.roll(t, lanes - k, 2) for t in tot)
+        shifted = tuple(_roll(t, lanes - k, 2) for t in tot)
         shifted = tuple(jnp.where(m >= lanes - k, idl, s)
                         for m, idl, s in zip(masks, ident, shifted))
         tot = _combine_smoother(shifted, tot)
         k *= 2
     # exclusive lane suffix, then fold in the cross-chunk (later) carry
-    excl = tuple(pltpu.roll(t, lanes - 1, 2) for t in tot)
+    excl = tuple(_roll(t, lanes - 1, 2) for t in tot)
     excl = tuple(jnp.where(m >= lanes - 1, idl, s)
                  for m, idl, s in zip(masks, ident, excl))
     carry = (carry_e[...], carry_g[...], carry_l[...])
@@ -550,19 +566,19 @@ def _adjoint_grads_slice(f, h, nu, lam, mk, pm, pp_prev, a, pp, r, ndk):
     axes — accepts [*, *, L] slices and [*, *, R, L] blocks."""
     o = lam.shape[0]
     eye_o = _eye(o, f)
-    n_mat = 0.5 * (_mm(r, _t(r)) - ndk)
+    n_mat = _c(0.5, f) * (_mm(r, _t(r)) - ndk)
     g_q = n_mat
     g_c = r
-    g_f = _mm(r, _t(pm)) + 2.0 * _mm(n_mat, _mm(f, pp_prev))
+    g_f = _mm(r, _t(pm)) + _c(2.0, f) * _mm(n_mat, _mm(f, pp_prev))
     m_s = a + _mm(pp, r)
     p_s = _sym(pp - _mm(pp, _mm(ndk, pp)))
-    keep = mk > 0.5
+    keep = mk > _c(0.5, mk)
     lam_safe = jnp.where(keep, lam, eye_o)
     lam_inv = _inv(lam_safe)
     y = _mm(lam_inv, nu)
     a_k = p_s + _mm(m_s, _t(m_s))
     g_nu = _mm(h, m_s) - y
-    g_lam = 0.5 * (_mm(y, _t(y)) - _mm(h, _mm(a_k, _t(h))) + lam_inv)
+    g_lam = _c(0.5, f) * (_mm(y, _t(y)) - _mm(h, _mm(a_k, _t(h))) + lam_inv)
     g_h = _mm(nu, _t(m_s)) - _mm(lam, _mm(h, a_k))
     zero = jnp.zeros((), f.dtype)
     g_nu = jnp.where(keep, g_nu, zero)
@@ -615,12 +631,12 @@ def _adjoint_kernel(f_ref, c_ref, q_ref, h_ref, nu_ref, lam_ref, mk_ref,
     tot = suf[0]
     k = 1
     while k < lanes:
-        shifted = tuple(pltpu.roll(t, lanes - k, 2) for t in tot)
+        shifted = tuple(_roll(t, lanes - k, 2) for t in tot)
         shifted = tuple(jnp.where(m >= lanes - k, idl, s)
                         for m, idl, s in zip(masks, ident, shifted))
         tot = _combine_smoother(shifted, tot)
         k *= 2
-    excl = tuple(pltpu.roll(t, lanes - 1, 2) for t in tot)
+    excl = tuple(_roll(t, lanes - 1, 2) for t in tot)
     excl = tuple(jnp.where(m >= lanes - 1, idl, s)
                  for m, idl, s in zip(masks, ident, excl))
     carry = (carry_e[...], carry_g[...], carry_l[...])
@@ -938,12 +954,12 @@ def _uniform_pipeline_kernel(fc_ref, cc_ref, qc_ref, m0_ref, p0_ref, h_ref,
     tot = pref[-1]
     k = 1
     while k < lanes:
-        shifted = tuple(pltpu.roll(t, k, 2) for t in tot)
+        shifted = tuple(_roll(t, k, 2) for t in tot)
         shifted = tuple(jnp.where(m < k, idl, s)
                         for m, idl, s in zip(masks, ident, shifted))
         tot = _combine(shifted, tot)
         k *= 2
-    excl = tuple(pltpu.roll(t, 1, 2) for t in tot)
+    excl = tuple(_roll(t, 1, 2) for t in tot)
     excl = tuple(jnp.where(m < 1, idl, s)
                  for m, idl, s in zip(masks, ident, excl))
     carry = (carry_a[...], carry_b[...], carry_c[...], carry_j[...],
@@ -958,8 +974,8 @@ def _uniform_pipeline_kernel(fc_ref, cc_ref, qc_ref, m0_ref, p0_ref, h_ref,
     exc_b = tuple(x[:, :, None, :] for x in exc)
     out_blk = _combine(exc_b, pref_blk)
     outs_m, outs_p = out_blk[1], out_blk[2]
-    last_m = pltpu.roll(outs_m[:, :, r_blk - 1, :], 1, 2)
-    last_p = pltpu.roll(outs_p[:, :, r_blk - 1, :], 1, 2)
+    last_m = _roll(outs_m[:, :, r_blk - 1, :], 1, 2)
+    last_p = _roll(outs_p[:, :, r_blk - 1, :], 1, 2)
     lane0 = lane_b[:1] < 1
     prev_m0 = jnp.where(lane0, jnp.broadcast_to(carry[1], last_m.shape),
                         last_m)
@@ -1130,12 +1146,12 @@ def _uniform_adjoint_kernel(fc_ref, cc_ref, qc_ref, m0_ref, p0_ref, h_ref,
     tot = suf[0]
     k = 1
     while k < lanes:
-        shifted = tuple(pltpu.roll(t, lanes - k, 2) for t in tot)
+        shifted = tuple(_roll(t, lanes - k, 2) for t in tot)
         shifted = tuple(jnp.where(m >= lanes - k, idl, s)
                         for m, idl, s in zip(masks, ident, shifted))
         tot = _combine_smoother(shifted, tot)
         k *= 2
-    excl = tuple(pltpu.roll(t, lanes - 1, 2) for t in tot)
+    excl = tuple(_roll(t, lanes - 1, 2) for t in tot)
     excl = tuple(jnp.where(m >= lanes - 1, idl, s)
                  for m, idl, s in zip(masks, ident, excl))
     carry = (carry_e[...], carry_g[...], carry_l[...])

@@ -133,10 +133,9 @@ def test_gpr_uniform_flag_and_parity(rng):
             chol_obs_covariance=jnp.asarray([[0.2]]))
 
     m_uni = make(x)                       # numpy -> detected uniform
-    m_gen = make(jnp.asarray(x))
     # On the CPU test backend jnp arrays are host-resident, so force the
     # general engine to get a genuine two-path comparison.
-    object.__setattr__(m_gen, "_uniform_grid", False)
+    m_gen = make(jnp.asarray(x)).replace(_uniform_grid=False)
     assert m_uni._uniform_grid
     mask = trainable_mask(m_uni)
     step = jax.jit(lambda m: filtered_value_and_grad(
@@ -178,8 +177,7 @@ def test_cvi_uniform_matches_general(rng):
 
     m_uni = make(x)
     assert m_uni._uniform_grid
-    m_gen = make(jnp.asarray(x))
-    object.__setattr__(m_gen, "_uniform_grid", False)
+    m_gen = make(jnp.asarray(x)).replace(_uniform_grid=False)
     upd = jax.jit(lambda m: m.update_sites())
     for _ in range(3):
         m_uni = upd(m_uni)
@@ -202,3 +200,29 @@ def test_is_uniform_grid_detection():
     # batched rows, each uniform with its own delta
     tp = np.stack([np.linspace(0, 1, 64), np.linspace(0, 2, 64)])
     assert is_uniform_grid(tp)
+
+
+def test_uniform_grid_api_and_replace_redetect():
+    """The VERDICT r2 footgun: the flag is re-detected on .replace() and
+    controllable via the public constructor arg (no private pokes)."""
+    from markovflow_tpu.kernels import Matern32
+    from markovflow_tpu.models import GaussianProcessRegression
+
+    n = 64
+    x = np.linspace(0.0, 3.0, n)
+    y = np.sin(x)[:, None]
+    mk = lambda tp, **kw: GaussianProcessRegression(
+        input_data=(tp, jnp.asarray(y)),
+        kernel=Matern32(lengthscale=0.5, variance=1.0),
+        chol_obs_covariance=jnp.asarray([[0.2]]), **kw)
+    m = mk(x)
+    assert m._uniform_grid
+    assert not mk(x, uniform_grid=False)._uniform_grid
+    assert mk(x, uniform_grid=True)._uniform_grid
+    xr = np.sort(np.random.default_rng(3).random(n))
+    with pytest.raises(ValueError):
+        mk(xr, uniform_grid=True)
+    # .replace() re-detects in both directions and honors an explicit pin
+    assert not m.replace(time_points=xr)._uniform_grid
+    assert m.replace(time_points=xr).replace(time_points=x)._uniform_grid
+    assert not m.replace(time_points=x, _uniform_grid=False)._uniform_grid
