@@ -5,8 +5,10 @@ Usage: python benchmarks/run_all.py  [--quick]
 Prints one JSON line per metric.  See benchmarks/harness.py for why naive
 timing loops are invalid on detached TPU runtimes: every workload here runs
 K times inside one jit with a chained data dependency, and the per-step
-time is the slope between K=1 and K=2 (larger K crashes this runtime's
-worker), with a host readback as the only trusted clock.
+time is the slope between K=1 and K=8 (narrowing to K=4/2 if the long
+chain fails on this runtime), with a host readback as the only trusted
+clock.  The slope protocol never returns a negative number (see
+bench._slope).
 """
 from __future__ import annotations
 
@@ -20,30 +22,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def _slope(step, args, reps=9):
-    import jax
-    import jax.numpy as jnp
+def _slope(step, args, reps=7):
+    """Delegates to bench._slope: K=1 vs K=8 spread, non-negative result.
 
-    def chain(k):
-        @jax.jit
-        def fn(*a):
-            def body(_, acc):
-                return step(acc, *a)
-            return jax.lax.fori_loop(0, k, body, jnp.zeros((), jnp.float32))
-        return fn
-
-    fns = {k: chain(k) for k in (1, 2)}
-    for fn in fns.values():
-        float(fn(*args))
-    t = {}
-    for k, fn in fns.items():
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            float(fn(*args))
-            ts.append(time.perf_counter() - t0)
-        t[k] = float(np.median(ts))
-    return (t[2] - t[1]) * 1e3
+    Returns (ms, protocol_tag)."""
+    from bench import _slope as slope
+    return slope(step, args, reps)
 
 
 def _emit(metric, ms, **extra):
@@ -85,13 +69,13 @@ def main():
     gpr = GaussianProcessRegression(
         input_data=(xj, yj), kernel=Matern32(lengthscale=0.5, variance=1.0),
         chol_obs_covariance=jnp.asarray([[0.2]], dtype))
-    ms = _slope(grad_step, (gpr,))
+    ms, proto = _slope(grad_step, (gpr,))
     _emit(f"gpr_train_step_T{t_len}_matern32", ms,
-          vs_50ms_target=round(50.0 / ms, 2))
+          vs_50ms_target=round(50.0 / ms, 2), protocol=proto)
 
     # 2. GPR training step with autodiff VJP (for the record)
-    ms = _slope(grad_step, (gpr.replace(grad_engine="autodiff"),))
-    _emit(f"gpr_train_step_T{t_len}_autodiff_vjp", ms)
+    ms, proto = _slope(grad_step, (gpr.replace(grad_engine="autodiff"),))
+    _emit(f"gpr_train_step_T{t_len}_autodiff_vjp", ms, protocol=proto)
 
     # 3. sum kernel (state_dim 4)
     gpr4 = GaussianProcessRegression(
@@ -99,8 +83,8 @@ def main():
         kernel=Matern32(lengthscale=0.5, variance=1.0)
         + Matern12(lengthscale=3.0, variance=0.5),
         chol_obs_covariance=jnp.asarray([[0.2]], dtype))
-    ms = _slope(grad_step, (gpr4,))
-    _emit(f"gpr_train_step_T{t_len}_sum_kernel_d4", ms)
+    ms, proto = _slope(grad_step, (gpr4,))
+    _emit(f"gpr_train_step_T{t_len}_sum_kernel_d4", ms, protocol=proto)
 
     # 4. CVI full iteration (site update + ELBO value_and_grad)
     cvi = CVIGaussianProcess(
@@ -117,8 +101,8 @@ def main():
                 for l in jax.tree_util.tree_leaves(m3.sites.nat1))
         return (loss + gsum + s).astype(jnp.float32) * 1e-9
 
-    ms = _slope(cvi_step, (cvi,))
-    _emit(f"cvi_full_iteration_T{t_len}", ms)
+    ms, proto = _slope(cvi_step, (cvi,))
+    _emit(f"cvi_full_iteration_T{t_len}", ms, protocol=proto)
 
     # 5. posterior marginals (filter + smoother), serving path
     def marg_step(acc, m):
@@ -126,25 +110,26 @@ def main():
         ms_, ps_ = m2.kalman.posterior_marginals(engine="pallas")
         return (jnp.sum(ms_[0]) + jnp.sum(ps_[0])).astype(jnp.float32) * 1e-6
 
-    ms = _slope(marg_step, (gpr,))
-    _emit(f"posterior_marginals_T{t_len}_pallas", ms)
+    ms, proto = _slope(marg_step, (gpr,))
+    _emit(f"posterior_marginals_T{t_len}_pallas", ms, protocol=proto)
 
     # 6. BASELINE config 5: DoubleWell SDE VI iteration (f32)
-    ms = bench_sde_vi(quick)
-    _emit(f"sde_doublewell_vi_iteration_n{2048 if quick else 16384}", ms)
+    ms, proto = bench_sde_vi(quick)
+    _emit(f"sde_doublewell_vi_iteration_n{2048 if quick else 16384}", ms,
+          protocol=proto)
 
     # 7-8. BASELINE configs 2-3 need float64 (natural-parameter training on
     # dense grids carries Q^{-1} ~ dt^{-3}; see ssm_natgrad.py) — switch the
     # process to x64 for the remainder.
     jax.config.update("jax_enable_x64", True)
     n2 = 10_000 if quick else 100_000
-    ms = bench_vgp_natgrad(n2)
-    _emit(f"vgp_bernoulli_natgrad_step_T{n2}_f64", ms)
+    ms, proto = bench_vgp_natgrad(n2)
+    _emit(f"vgp_bernoulli_natgrad_step_T{n2}_f64", ms, protocol=proto)
 
     m3 = 512 if quick else 2048
     n3 = 10_000 if quick else 100_000
-    ms = bench_svgp_natgrad(n3, m3)
-    _emit(f"svgp_natgrad_step_N{n3}_M{m3}_f64", ms)
+    ms, proto = bench_svgp_natgrad(n3, m3)
+    _emit(f"svgp_natgrad_step_N{n3}_M{m3}_f64", ms, protocol=proto)
 
 
 def bench_sde_vi(quick: bool):

@@ -203,6 +203,68 @@ class ImportanceWeightedPosteriorProcess(PosteriorProcess):
         return self.proposal_process.sample_state(new_time_points,
                                                   sample_shape, key)
 
+    def _iwvi_samples_and_weights(self, new_time_points, input_data,
+                                  sample_shape, key):
+        """Joint proposal samples over [data, new] time points plus their
+        log importance weights (reference: posterior.py:582-621).
+
+        Returns (s_new, log_w, u) with shapes
+        ``sample_shape + batch + [n_new, d]``, ``sample_shape + batch``,
+        ``sample_shape + batch + [n_z, d]``.
+        """
+        time_points, _ = input_data
+        all_time_points = jnp.concatenate([time_points, new_time_points],
+                                          axis=-1)
+        s, u = self.proposal_process.sample_state_trajectories(
+            all_time_points, sample_shape, key)
+        n_new = new_time_points.shape[-1]
+        s_new = s[..., -n_new:, :]
+        s_data = s[..., :-n_new, :]
+        log_w = self.log_importance_weights(s_data, u, input_data)
+        return s_new, log_w, u
+
+    def sample_state_trajectories(self, new_time_points, sample_shape, key,
+                                  *, input_data=None):
+        """Resampled IW posterior trajectories (reference: posterior.py:623-674).
+
+        Per MC replicate (``sample_shape``), draws ``num_importance_samples``
+        joint proposal trajectories, then resamples the importance axis by
+        a categorical over the self-normalized log weights — a draw from the
+        importance-weighted posterior approximation.  Returns
+        (states ``sample_shape + batch + [n_new, d]``, conditioning samples
+        ``sample_shape + [K] + batch + [n_z, d]``).
+        """
+        if input_data is None:
+            raise ValueError(
+                "You need to provide `input_data` for doing inference with IW")
+        if isinstance(sample_shape, int):
+            sample_shape = (sample_shape,)
+        k_axis = len(sample_shape)
+        full_shape = tuple(sample_shape) + (self.num_importance_samples,)
+        key_s, key_r = jax.random.split(key)
+        samples, log_w, u = self._iwvi_samples_and_weights(
+            new_time_points, input_data, full_shape, key_s)
+        # log_w: sample_shape + [K] + batch; categorical over the K axis,
+        # independently per MC replicate and batch element.
+        idx = jax.random.categorical(
+            key_r, jnp.moveaxis(log_w, k_axis, -1), axis=-1)
+        # gather the chosen importance sample along axis k_axis
+        idx_e = idx[..., None, None]  # sample_shape + batch + [1, 1]
+        idx_e = jnp.expand_dims(idx_e, k_axis)
+        chosen = jnp.take_along_axis(samples, idx_e, axis=k_axis)
+        return jnp.squeeze(chosen, axis=k_axis), u
+
+    def sample_f(self, new_time_points, sample_shape, key, *,
+                 input_data=None):
+        """Resampled IW posterior samples of f (reference: posterior.py:676-721)."""
+        states, _ = self.sample_state_trajectories(
+            new_time_points, sample_shape, key, input_data=input_data)
+        em = self.kernel.generate_emission_model(new_time_points)
+        f = em.project_state_to_f(states)
+        if self.mean_function is not None:
+            f = f + self.mean_function(new_time_points)
+        return f
+
     def expected_value(self, new_time_points, input_data, key, func=None):
         """Self-normalized importance-weighted posterior expectation of
         func(states at new_time_points) (reference: posterior.py:708-758).

@@ -101,6 +101,58 @@ def test_iwvi_elbo_monotone_in_k(rng):
     assert e20 <= float(LOGLIK(gpr)) + 0.5
 
 
+def test_iwvi_resampled_trajectories_match_expected_value(rng):
+    """Categorically-resampled IW posterior trajectories
+    (reference: posterior.py:623-674) have the same mean as the
+    Rao-Blackwellized self-normalized estimate (`expected_value`)."""
+    x, y = make_data(rng, n=8)
+    kernel = Matern32(lengthscale=0.7, variance=1.2)
+    model = ImportanceWeightedVI(kernel, x, Gaussian(variance=NOISE**2),
+                                 num_importance_samples=6)
+    post = model.posterior
+    t_new = jnp.asarray([0.9, 2.1, 3.3])
+    n_mc = 256
+    key = jax.random.PRNGKey(3)
+    key_r, key_e = jax.random.split(key)
+
+    @jax.jit
+    def draw_resampled(k):
+        s, _ = post.sample_state_trajectories(t_new, (n_mc,), k,
+                                              input_data=(x, y))
+        return s  # [n_mc, 3, d]
+
+    @jax.jit
+    def draw_expected(k):
+        return jax.vmap(
+            lambda kk: post.expected_value(t_new, (x, y), kk))(
+            jax.random.split(k, n_mc))  # [n_mc, 3, d]
+
+    from tests.tools.check_distributions import (
+        assert_samples_close_in_expectation)
+
+    s_re = np.asarray(draw_resampled(key_r))
+    s_ev = np.asarray(draw_expected(key_e))
+    assert s_re.shape == s_ev.shape == (n_mc, 3, kernel.state_dim)
+    assert_samples_close_in_expectation(s_re, s_ev, sigma=4.0)
+
+
+def test_iwvi_sample_f_shapes_and_finite(rng):
+    x, y = make_data(rng, n=8)
+    model = ImportanceWeightedVI(Matern32(lengthscale=0.7, variance=1.2), x,
+                                 Gaussian(variance=NOISE**2),
+                                 num_importance_samples=4)
+    t_new = jnp.asarray([0.5, 1.5])
+    f = jax.jit(lambda k: model.posterior.sample_f(
+        t_new, (7,), k, input_data=(x, y)))(jax.random.PRNGKey(0))
+    assert f.shape == (7, 2, 1)
+    assert np.all(np.isfinite(np.asarray(f)))
+    # input_data is mandatory for IW sampling, as in the reference
+    import pytest
+    with pytest.raises(ValueError):
+        model.posterior.sample_state_trajectories(
+            t_new, (7,), jax.random.PRNGKey(0))
+
+
 def test_iwvi_dregs_gradient_finite(rng):
     x, y = make_data(rng, n=10)
     model = ImportanceWeightedVI(Matern32(lengthscale=0.7, variance=1.2), x,
