@@ -202,15 +202,18 @@ def bench_vgp_natgrad(n: int):
     opt = SSMNaturalGradient(gamma=0.5, naturals_engine="parallel")
     ssm0 = vgp.dist_q.non_trainable_copy()
 
-    def ng_step(acc, ssm):
-        ssm2 = ssm.replace(_mu0=ssm.initial_mean * (1 + acc * 1e-30))
-        new_ssm, _, loss = opt.step(
-            lambda s: vgp.with_dist_q(s).loss(), ssm2)
-        out = loss + sum(jnp.sum(jnp.abs(l)) * 1e-9
-                         for l in jax.tree_util.tree_leaves(new_ssm))
-        return out.astype(jnp.float32) * 1e-6
+    # Dispatch-chain protocol: this graph's loop-wrapped jit does not
+    # compile in budget (see bench._slope_dispatch); chain bare-step
+    # dispatches through the SSM state instead.
+    @jax.jit
+    def ng_step(ssm):
+        new_ssm, _, _ = opt.step(lambda s: vgp.with_dist_q(s).loss(), ssm)
+        return new_ssm
 
-    return _slope(ng_step, (ssm0,))
+    from bench import _slope_dispatch
+
+    return _slope_dispatch(ng_step, ssm0,
+                           lambda s: float(jnp.sum(s.initial_mean)))
 
 
 def bench_svgp_natgrad(n: int, m: int):
@@ -237,15 +240,16 @@ def bench_svgp_natgrad(n: int, m: int):
     opt = SSMNaturalGradient(gamma=0.5, naturals_engine="parallel")
     ssm0 = svgp.dist_q.non_trainable_copy()
 
-    def ng_step(acc, ssm, data_x, data_y):
-        ssm2 = ssm.replace(_mu0=ssm.initial_mean * (1 + acc * 1e-30))
-        new_ssm, _, loss = opt.step(
-            lambda s: svgp.with_dist_q(s).loss((data_x, data_y)), ssm2)
-        out = loss + sum(jnp.sum(jnp.abs(l)) * 1e-9
-                         for l in jax.tree_util.tree_leaves(new_ssm))
-        return out.astype(jnp.float32) * 1e-6
+    @jax.jit
+    def ng_step(ssm):
+        new_ssm, _, _ = opt.step(
+            lambda s: svgp.with_dist_q(s).loss((xj, yj)), ssm)
+        return new_ssm
 
-    return _slope(ng_step, (ssm0, xj, yj))
+    from bench import _slope_dispatch
+
+    return _slope_dispatch(ng_step, ssm0,
+                           lambda s: float(jnp.sum(s.initial_mean)))
 
 
 if __name__ == "__main__":

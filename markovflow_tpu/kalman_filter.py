@@ -199,16 +199,34 @@ class BaseKalmanFilter(Module, abc.ABC):
         _, _, ll = K.filter_pipeline_tl(F, c, Q, h, nu, lam, mask)
         return ll
 
-    def posterior_marginals(self, engine: str = "xla"):
+    def posterior_marginals(self, engine: str = "xla", mesh=None,
+                            axis: str = "sp"):
         """Smoothed means/covs ([..., N, d], [..., N, d, d]) straight from
         the TL pipeline — no posterior-SSM materialization.
 
         ``engine="pallas"`` runs the hand-written TPU kernels (inference
         only: no autodiff; requests are gated — ineligible shapes/backends
-        fall back to the XLA scans)."""
+        fall back to the XLA scans).  ``engine="collective"`` runs the
+        explicit-collective sequence-parallel pipelines
+        (:mod:`markovflow_tpu.parallel.collective_scan`) with the time axis
+        sharded over ``mesh``'s ``axis`` dimension; requires ``mesh``."""
+        F, c, Q, h, nu, lam, mask = self._tl_inputs()
+        if engine == "collective":
+            from .parallel.collective_scan import (
+                sharded_filter_pipeline_tl, sharded_smoother_pipeline_tl)
+
+            if mesh is None:
+                raise ValueError(
+                    'engine="collective" requires a mesh (jax.sharding.Mesh '
+                    f"with the sequence axis named {axis!r}).")
+            m_f, p_f, _ = sharded_filter_pipeline_tl(
+                F, c, Q, h, nu, lam, mask=mask, mesh=mesh, axis=axis)
+            m_s, p_s, _ = sharded_smoother_pipeline_tl(
+                F, c, Q, m_f, p_f, mesh=mesh, axis=axis)
+            return (jnp.moveaxis(m_s[..., 0, :], -1, -2),
+                    jnp.moveaxis(p_s, -1, -3))
         from .ops.pallas_scan import pick_scan_engine
 
-        F, c, Q, h, nu, lam, mask = self._tl_inputs()
         engine = pick_scan_engine(F, engine, lam)
         m_f, p_f, _ = K.filter_pipeline_tl(F, c, Q, h, nu, lam, mask,
                                            engine=engine)

@@ -64,13 +64,17 @@ class GaussianProcessWithSitesBase(MarkovFlowModel):
                  kernel: SDEKernel, likelihood: Likelihood,
                  mean_function: Optional[MeanFunction] = None,
                  sites: Optional[UnivariateGaussianSitesNat] = None,
-                 grad_engine: str = "koopman",
+                 grad_engine: str = "koopman", mesh=None,
+                 shard_axis: str = "sp",
                  uniform_grid: Optional[bool] = None):
         """``grad_engine`` selects the VJP of the site-model marginal
         likelihood (the ELBO / energy surrogate) — see
         :meth:`BaseKalmanFilter.log_likelihood`.  "koopman" (default) is the
         analytic prediction-error score; "autodiff" differentiates through
-        the scans (needed for forward-mode use).
+        the scans (needed for forward-mode use); "collective" runs every
+        heavy pass (ELBO + VJP, and the smoothed marginals behind
+        ``update_sites``) as explicit-collective sequence-parallel scans
+        with the time axis sharded over ``mesh``'s ``shard_axis``.
 
         ``uniform_grid``: stationary uniform-grid fast path — ``None``
         auto-detects from concrete time points, ``False`` forces the general
@@ -87,15 +91,17 @@ class GaussianProcessWithSitesBase(MarkovFlowModel):
             sites = UnivariateGaussianSitesNat(nat1, nat2)
         self.sites = sites
         self.grad_engine = grad_engine
+        self.mesh = mesh
+        self.shard_axis = shard_axis
         # Static flag: stationary uniform-grid fast path (constant prior
         # steps, per-step sites; see GaussianProcessRegression for the
         # detection contract — pass numpy time points to enable on device).
         detected = (is_uniform_grid(self.time_points)
-                    and hasattr(kernel, "prior_const_tl"))
+                    and hasattr(kernel, "prior_const_tl") and mesh is None)
         if uniform_grid and not detected:
             raise ValueError(
                 "uniform_grid=True requires host-inspectable, evenly spaced "
-                "time points and a stationary kernel")
+                "time points, a stationary kernel and no mesh")
         self._uniform_grid = detected if uniform_grid is None \
             else bool(uniform_grid)
 
@@ -105,10 +111,11 @@ class GaussianProcessWithSitesBase(MarkovFlowModel):
         explicitly to pin it)."""
         new = super().replace(**updates)
         if ("_uniform_grid" not in updates
-                and ({"time_points", "kernel"} & updates.keys())):
+                and ({"time_points", "kernel", "mesh"} & updates.keys())):
             object.__setattr__(new, "_uniform_grid", (
                 is_uniform_grid(new.time_points)
-                and hasattr(new.kernel, "prior_const_tl")))
+                and hasattr(new.kernel, "prior_const_tl")
+                and new.mesh is None))
         return new
 
     @property
@@ -162,7 +169,8 @@ class GaussianProcessWithSitesBase(MarkovFlowModel):
 
     def log_likelihood(self) -> jnp.ndarray:
         return self.posterior_kalman.log_likelihood(
-            grad_engine=self.grad_engine)
+            grad_engine=self.grad_engine, mesh=self.mesh,
+            axis=self.shard_axis)
 
     @property
     def posterior(self) -> AnalyticPosteriorProcess:
@@ -182,8 +190,15 @@ class GaussianProcessWithSitesBase(MarkovFlowModel):
         *through* these marginals (they differentiate the local objective
         w.r.t. them), so the un-differentiable fused TPU kernels are safe
         there; ``classic_elbo`` keeps the XLA scans so hyperparameter
-        autodiff through the marginals stays possible."""
-        means, covs = self.posterior_kalman.posterior_marginals(engine=engine)
+        autodiff through the marginals stays possible.  Under
+        ``grad_engine="collective"`` the marginals run the
+        explicit-collective sharded pipelines instead."""
+        if self.grad_engine == "collective":
+            means, covs = self.posterior_kalman.posterior_marginals(
+                engine="collective", mesh=self.mesh, axis=self.shard_axis)
+        else:
+            means, covs = self.posterior_kalman.posterior_marginals(
+                engine=engine)
         em = self.emission
         f_mu, f_var = em.project_state_marginals_to_f(means, covs)
         if self.mean_function is not None:
@@ -196,10 +211,12 @@ class CVIGaussianProcess(GaussianProcessWithSitesBase):
 
     def __init__(self, input_data, kernel, likelihood, mean_function=None,
                  learning_rate: float = 0.1, sites=None,
-                 grad_engine: str = "koopman",
+                 grad_engine: str = "koopman", mesh=None,
+                 shard_axis: str = "sp",
                  uniform_grid: Optional[bool] = None):
         super().__init__(input_data, kernel, likelihood, mean_function, sites,
-                         grad_engine=grad_engine, uniform_grid=uniform_grid)
+                         grad_engine=grad_engine, mesh=mesh,
+                         shard_axis=shard_axis, uniform_grid=uniform_grid)
         self.learning_rate = learning_rate
 
     def local_objective(self, f_mu, f_var, y):

@@ -53,19 +53,20 @@ def pick_scan_engine(F, engine: str, lam=None) -> str:
     """Resolve an engine request against kernel eligibility.
 
     The Pallas kernels support arbitrary leading batch dims (a batch grid
-    axis), d <= 6 (closed-form inverses up to 3, Schur-complement blocking
-    above), float32, the TPU backend only; any ineligible request silently
+    axis), d <= 12 (closed-form inverses up to 3, recursive Schur-complement
+    blocking above — two Matern52 summands is d = 6, three is d = 9),
+    float32, the TPU backend only; any ineligible request silently
     resolves to the XLA scans so library code can default to
     ``engine="pallas"`` safely (e.g. the CPU/x64 test suite, GPU backends).
 
     ``lam`` (site precisions, [..., o, o, N]) is checked when given: the
-    in-kernel innovation inverse also requires o <= 6 / float32.
+    in-kernel innovation inverse also requires o <= 12 / float32.
     """
     if engine != "pallas":
         return "xla"
-    if F.ndim < 3 or F.shape[-3] > 6 or F.dtype != jnp.float32:
+    if F.ndim < 3 or F.shape[-3] > 12 or F.dtype != jnp.float32:
         return "xla"
-    if lam is not None and (lam.ndim < 3 or lam.shape[-3] > 6
+    if lam is not None and (lam.ndim < 3 or lam.shape[-3] > 12
                             or lam.dtype != jnp.float32):
         return "xla"
     if jax.default_backend() != "tpu":
@@ -136,9 +137,13 @@ def _inv(m):
             jnp.stack([c(1, 0, 2, 1), -c(0, 0, 2, 1), c(0, 0, 1, 1)]),
         ])
         return adj / det[None, None]
-    if d <= 6:
-        # Schur-complement block reduction onto the d <= 3 closed forms:
-        # inv([[A, B], [C, D]]) with S = D - C A^-1 B.
+    if d <= 12:
+        # Recursive Schur-complement block reduction onto the d <= 3 closed
+        # forms: inv([[A, B], [C, D]]) with S = D - C A^-1 B.  One level
+        # covers d <= 6; d <= 12 recurses once more (the operands here are
+        # innovation/posterior covariances — PSD plus observation noise —
+        # so the unpivoted reduction is well-conditioned in practice; grad
+        # parity vs the XLA engine is tested at d = 9).
         k = d // 2
         a_i = _inv(m[:k, :k])
         b, c_, dd = m[:k, k:], m[k:, :k], m[k:, k:]
@@ -151,7 +156,7 @@ def _inv(m):
         top = jnp.concatenate([tl_blk, tr], axis=1)
         bot = jnp.concatenate([bl, s_i], axis=1)
         return jnp.concatenate([top, bot], axis=0)
-    raise NotImplementedError("pallas filter scan supports d <= 6")
+    raise NotImplementedError("pallas filter scan supports d <= 12")
 
 
 def _det(m):
@@ -668,7 +673,7 @@ def _adjoint_kernel(f_ref, c_ref, q_ref, h_ref, nu_ref, lam_ref, mk_ref,
 
 
 def pallas_adjoint_pipeline(F, c, Q, H, nu, lam, maskf, m_f, p_f, gscale, *,
-                            chunk: int = PALLAS_CHUNK, r_blk: int = None,
+                            chunk: int = None, r_blk: int = None,
                             interpret: bool = False):
     """Fused Koopman backward pass: raw TL inputs + saved filtered moments
     -> the six gradients, scaled by the upstream cotangent ``gscale``
@@ -694,7 +699,7 @@ def pallas_adjoint_pipeline(F, c, Q, H, nu, lam, maskf, m_f, p_f, gscale, *,
     d = arrs[0].shape[1]
     o = arrs[5].shape[1]
     gs = jnp.broadcast_to(gscale, lead).reshape(bdim, 1).astype(F.dtype)
-    r_blk, lanes = _split_chunk(chunk, r_blk)
+    chunk, r_blk, lanes = _resolve_chunk(d, chunk, r_blk)
     num_chunks = -(-n // chunk)
     pad = num_chunks * chunk - n
     if pad:
@@ -752,13 +757,34 @@ def _split_chunk(chunk, r_blk=None):
     return r_blk, chunk // r_blk
 
 
+def _resolve_chunk(d, chunk, r_blk):
+    """(chunk, r_blk, lanes) with VMEM-aware defaults.
+
+    The in-kernel working set is O(d^2 * chunk) f32 against ~16 MB of VMEM:
+    4096 fits d <= 6; larger state dims halve the chunk (d <= 9 -> 2048,
+    d <= 12 -> 1024) while r_blk shrinks in step so lanes = chunk / r_blk
+    stays at the 128-lane hardware tile.  Explicit ``chunk`` wins (tests
+    pass tiny chunks in interpret mode)."""
+    if chunk is None:
+        if d <= 6:
+            chunk = PALLAS_CHUNK
+        elif d <= 9:
+            chunk, r_blk = PALLAS_CHUNK // 2, (
+                16 if r_blk is None else r_blk)
+        else:
+            chunk, r_blk = PALLAS_CHUNK // 4, (
+                8 if r_blk is None else r_blk)
+    r_blk, lanes = _split_chunk(chunk, r_blk)
+    return chunk, r_blk, lanes
+
+
 def _flatten_batch(x):
     """[..., d, db, N] -> [B, d, db, N] (B = prod of leading dims, >= 1)."""
     lead = x.shape[:-3]
     return x.reshape((-1,) + x.shape[-3:]), lead
 
 
-def pallas_filter_scan(elems, *, chunk: int = PALLAS_CHUNK,
+def pallas_filter_scan(elems, *, chunk: int = None,
                        r_blk: int = None, interpret: bool = False):
     """Filtered means/covs from TL-layout FilterElements.
 
@@ -773,7 +799,7 @@ def pallas_filter_scan(elems, *, chunk: int = PALLAS_CHUNK,
     d = a.shape[1]
     db = b.shape[2]
     n = a.shape[-1]
-    r_blk, lanes = _split_chunk(chunk, r_blk)
+    chunk, r_blk, lanes = _resolve_chunk(d, chunk, r_blk)
     num_chunks = -(-n // chunk)
     pad = num_chunks * chunk - n
     if pad:
@@ -815,7 +841,7 @@ def pallas_filter_scan(elems, *, chunk: int = PALLAS_CHUNK,
 
 
 def pallas_filter_pipeline(F, c, Q, H, nu, lam, maskf=None, *,
-                           chunk: int = PALLAS_CHUNK, r_blk: int = None,
+                           chunk: int = None, r_blk: int = None,
                            interpret: bool = False):
     """Fused forward pipeline: raw TL inputs -> (m_f, p_f, loglik).
 
@@ -835,7 +861,7 @@ def pallas_filter_pipeline(F, c, Q, H, nu, lam, maskf=None, *,
     bdim = F.shape[0]
     d = F.shape[1]
     o = lam.shape[1]
-    r_blk, lanes = _split_chunk(chunk, r_blk)
+    chunk, r_blk, lanes = _resolve_chunk(d, chunk, r_blk)
     num_chunks = -(-n // chunk)
     pad = num_chunks * chunk - n
     if pad:
@@ -1002,7 +1028,7 @@ def _uniform_pipeline_kernel(fc_ref, cc_ref, qc_ref, m0_ref, p0_ref, h_ref,
 
 
 def pallas_filter_pipeline_uniform(Fc, cc, Qc, mu0, P0, Hc, nu, lam,
-                                   maskf=None, *, chunk: int = PALLAS_CHUNK,
+                                   maskf=None, *, chunk: int = None,
                                    r_blk: int = None,
                                    interpret: bool = False):
     """Fused forward pipeline for a uniform grid: constant prior steps
@@ -1028,7 +1054,7 @@ def pallas_filter_pipeline_uniform(Fc, cc, Qc, mu0, P0, Hc, nu, lam,
     flat = lambda x: x.reshape((-1,) + x.shape[-3:])
     nu, lam, maskf = flat(nu), flat(lam), flat(maskf)
     bdim = nu.shape[0]
-    r_blk, lanes = _split_chunk(chunk, r_blk)
+    chunk, r_blk, lanes = _resolve_chunk(d, chunk, r_blk)
     num_chunks = -(-n // chunk)
     pad = num_chunks * chunk - n
     if pad:
@@ -1196,7 +1222,7 @@ def _uniform_adjoint_kernel(fc_ref, cc_ref, qc_ref, m0_ref, p0_ref, h_ref,
 
 def pallas_adjoint_pipeline_uniform(Fc, cc, Qc, mu0, P0, Hc, nu, lam, maskf,
                                     m_f, p_f, gscale, *,
-                                    chunk: int = PALLAS_CHUNK,
+                                    chunk: int = None,
                                     r_blk: int = None,
                                     interpret: bool = False):
     """Fused Koopman backward for the uniform grid.  Returns
@@ -1226,7 +1252,7 @@ def pallas_adjoint_pipeline_uniform(Fc, cc, Qc, mu0, P0, Hc, nu, lam, maskf,
     arrs = [flat(x) for x in (nu, lam, maskf, m_prev, p_prev)]
     bdim = arrs[0].shape[0]
     gsarr = jnp.broadcast_to(gscale, lead).reshape(bdim, 1).astype(nu.dtype)
-    r_blk, lanes = _split_chunk(chunk, r_blk)
+    chunk, r_blk, lanes = _resolve_chunk(d, chunk, r_blk)
     num_chunks = -(-n // chunk)
     pad = num_chunks * chunk - n
     if pad:
@@ -1278,7 +1304,7 @@ def pallas_adjoint_pipeline_uniform(Fc, cc, Qc, mu0, P0, Hc, nu, lam, maskf,
             unblk(out[0], o, 1), unblk(out[1], o, o))
 
 
-def pallas_smoother_scan(elems, *, chunk: int = PALLAS_CHUNK,
+def pallas_smoother_scan(elems, *, chunk: int = None,
                          r_blk: int = None, interpret: bool = False):
     """Reverse (suffix) smoothing scan: elems = (E [..., d,d,N],
     g [..., d,1,N], L [..., d,d,N]) in TL layout, arbitrary leading batch
@@ -1294,7 +1320,7 @@ def pallas_smoother_scan(elems, *, chunk: int = PALLAS_CHUNK,
     d = e.shape[1]
     db = g.shape[2]
     n = e.shape[-1]
-    r_blk, lanes = _split_chunk(chunk, r_blk)
+    chunk, r_blk, lanes = _resolve_chunk(d, chunk, r_blk)
     num_chunks = -(-n // chunk)
     pad = num_chunks * chunk - n
     if pad:

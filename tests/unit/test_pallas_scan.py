@@ -202,3 +202,32 @@ def test_fused_adjoint_matches_xla(rng):
             assert_allclose(np.asarray(b), 1.7 * np.asarray(a), atol=1e-8,
                             err_msg=f"fused adjoint mismatch {nm} "
                                     f"(d={d}, o={o}, batch={batch})")
+
+
+@pytest.mark.parametrize("d", [9, 12])
+def test_inv_det_schur_recursion_large_d(rng, d):
+    """_inv/_det recursive Schur blocking above d = 6 vs dense NumPy."""
+    from markovflow_tpu.ops.pallas_scan import _det, _inv
+
+    m = rng.standard_normal((d, d, 7))
+    m = np.einsum("ikn,jkn->ijn", m, m) + 0.5 * np.eye(d)[..., None]
+    got = np.asarray(_inv(jnp.asarray(m)))
+    want = np.moveaxis(np.linalg.inv(np.moveaxis(m, -1, 0)), 0, -1)
+    assert_allclose(got, want, rtol=1e-8, atol=1e-9)
+    got_det = np.asarray(_det(jnp.asarray(m)))
+    want_det = np.linalg.det(np.moveaxis(m, -1, 0))
+    assert_allclose(got_det, want_det, rtol=1e-8)
+
+
+def test_fused_pipeline_matches_xla_d9(rng):
+    """d = 9 (e.g. a Sum of three Matern52 components) through the recursive
+    Schur inverses and the auto-halved chunk."""
+    from markovflow_tpu.ops.pallas_scan import pallas_filter_pipeline
+
+    args = _pipeline_inputs(rng, 40, 9, o=2)
+    m_ref, p_ref, ll_ref = jrun(K.filter_pipeline_tl, *args)
+    m, p, ll = jrun(pallas_filter_pipeline, *args, chunk=16, r_blk=4,
+                    interpret=True)
+    assert_allclose(np.asarray(m), np.asarray(m_ref), atol=1e-8)
+    assert_allclose(np.asarray(p), np.asarray(p_ref), atol=1e-8)
+    assert_allclose(float(ll), float(ll_ref), rtol=1e-10)
