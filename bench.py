@@ -10,6 +10,11 @@ field carries one driver-captured number per BASELINE.md config:
   4. cvi      — CVI full iteration (site update + ELBO grad), T = 1e6, f32
   5. sde      — DoubleWell SDE VI iteration (linearize + smooth + KL), f32
 
+plus two recorded-quality extras: ``parity`` (on-chip f32-engine losses vs
+the f64 oracle value at T = 2e4, as ``parity_rel_*`` fields) and ``d9``
+(Sum-of-three-Matern52 GPR step, state_dim 9 — the recursive d <= 12
+Pallas fast path).
+
 Robustness contract (round-2 postmortem: a single slow config zeroed the
 whole record — BENCH_r02.json rc=124/parsed=null):
 
@@ -48,7 +53,8 @@ TARGET_MS = 50.0
 
 # Per-config hard wall-clock budgets (seconds), compile included.  The
 # headline (gpr_cvi) gets the largest share; one retry if it times out.
-TIMEBOXES = {"gpr_cvi": 600, "sde": 240, "vgp": 420, "svgp": 420}
+TIMEBOXES = {"gpr_cvi": 600, "sde": 240, "vgp": 420, "svgp": 420,
+             "parity": 300, "d9": 300}
 
 
 def _note(msg):
@@ -260,6 +266,90 @@ def bench_gpr_and_cvi():
     }
 
 
+def bench_parity():
+    """On-chip numeric parity, recorded in the driver JSON (the .lower()
+    lowering tests cannot catch Mosaic backend-pass rejections, and the
+    fast path is f32 while the reference regime is f64): at T = 1e5 compare
+    the GPR loss from (a) the fused Pallas uniform-grid engine and (b) the
+    general engine, each against (c) the same graph in float64 — the value
+    the suite's CPU oracle tests pin to dense NumPy formulas at 1e-10.
+
+    Runs in its own child process with x64 ENABLED from the start so both
+    precisions are available; f32 operands keep the fast kernels on their
+    f32 paths (the kernels are x64-hygienic; tests/unit/test_mosaic_lowering).
+    T = 2e4 keeps the f64 oracle compile inside the timebox (the f64 graph
+    at T = 1e5 did not trace+compile in 420 s on a contended host).
+    """
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from markovflow_tpu.kernels import Matern32
+    from markovflow_tpu.models import GaussianProcessRegression
+
+    t_len = 20_000
+    rng = np.random.default_rng(0)
+    x = np.linspace(0.0, 100.0, t_len)
+    y = (np.sin(2.0 * x) + 0.2 * rng.standard_normal(t_len))[:, None]
+
+    def loss_of(dtype, uniform):
+        m = GaussianProcessRegression(
+            input_data=(x.astype(dtype), jnp.asarray(y, dtype)),
+            kernel=Matern32(lengthscale=0.5, variance=1.0),
+            chol_obs_covariance=jnp.asarray([[0.2]], dtype),
+            uniform_grid=None if uniform else False)
+        return float(jax.jit(lambda mm: mm.loss())(m))
+
+    l64 = loss_of(jnp.float64, uniform=False)
+    out = {"parity_loss_f64": round(l64, 6)}
+    for name, uniform in (("pallas_uniform", True), ("general", False)):
+        try:
+            l32 = loss_of(jnp.float32, uniform=uniform)
+            rel = abs(l32 - l64) / max(abs(l64), 1e-30)
+            out[f"parity_rel_{name}"] = float(f"{rel:.3e}")
+        except Exception as e:  # noqa: BLE001 — record the failure, move on
+            out[f"parity_rel_{name}"] = f"error {type(e).__name__}"
+    return out
+
+
+def bench_d9():
+    """GPR training step with a three-Matern52 Sum kernel (state_dim 9) at
+    T = 1e5 — exercises the recursive Schur-complement d <= 12 Pallas fast
+    path (reference Sum kernels: sde_kernel.py:540-687)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from markovflow_tpu.kernels import Matern52
+    from markovflow_tpu.models import GaussianProcessRegression
+    from markovflow_tpu.utils import filtered_value_and_grad, trainable_mask
+
+    t_len = 100_000
+    rng = np.random.default_rng(0)
+    x = np.linspace(0.0, 100.0, t_len)
+    y = (np.sin(2.0 * x) + 0.2 * rng.standard_normal(t_len))[:, None]
+    kern = (Matern52(lengthscale=0.5, variance=1.0)
+            + Matern52(lengthscale=2.0, variance=0.5)
+            + Matern52(lengthscale=8.0, variance=0.25))
+    m = GaussianProcessRegression(
+        input_data=(x.astype(np.float32), jnp.asarray(y, jnp.float32)),
+        kernel=kern, chol_obs_covariance=jnp.asarray([[0.2]], jnp.float32))
+    mask = trainable_mask(m)
+
+    def grad_step(acc, mm):
+        m2 = mm.replace(observations=mm.observations * (1 + acc * 1e-30))
+        loss, grads = filtered_value_and_grad(lambda q: q.loss(), m2, mask)
+        gsum = sum(jnp.sum(jnp.abs(g))
+                   for g in jax.tree_util.tree_leaves(grads))
+        return (loss + gsum).astype(jnp.float32) * 1e-6
+
+    ms, proto = _slope(grad_step, (m,))
+    return {"gpr_sum3xM52_d9_T1e5_f32_ms": round(ms, 3),
+            "d9_protocol": proto}
+
+
 def child_main(config: str):
     """Run one config and print its result dict as one JSON line."""
     import jax
@@ -286,6 +376,10 @@ def child_main(config: str):
         ms, proto = cfgs.bench_svgp_natgrad(100_000, 2048)
         out = {"svgp_natgrad_N1e5_M2048_f64_ms": round(ms, 3),
                "svgp_protocol": proto}
+    elif config == "parity":
+        out = bench_parity()
+    elif config == "d9":
+        out = bench_d9()
     else:
         raise SystemExit(f"unknown config {config!r}")
     print("BENCH_RESULT " + json.dumps(out), flush=True)
@@ -368,7 +462,7 @@ def main():
         res = _run_config("gpr_cvi", TIMEBOXES["gpr_cvi"])
     configs.update(res)
     _emit(configs)
-    for name in ("sde", "vgp", "svgp"):
+    for name in ("sde", "vgp", "svgp", "parity", "d9"):
         configs.update(_run_config(name, TIMEBOXES[name]))
         _emit(configs)
 

@@ -106,6 +106,60 @@ def bench_scipy_banded(T, reps=3):
     return float(np.median(times)) * 1e3, float(ll)
 
 
+def bench_scipy_natgrad_standin(T, reps=3):
+    """Stand-in for the reference's natural-gradient step (BASELINE
+    configs 2-3; reference ssm_natgrad.py:121-218).
+
+    One natgrad step in the reference chains >= 10 banded C++ passes over
+    the T-point block-tridiagonal precision: ssm_to_expectations
+    (cholesky_band + Takahashi inverse_from_cholesky_band + solves,
+    ssm_gaussian_transformations.py:32-89), the ELBO gradient (Kalman
+    forward + the hand-written C++ backward kernels), the
+    expectations_to_ssm_params VJP, and naturals_to_ssm_params
+    (cholesky_band + solve_triang_band, :333-511).  Every pass is an O(T d^2)
+    *sequential* recursion with the same per-block flop shape as LAPACK
+    pbtrf, so we measure ONE factorization + ONE solve on the actual
+    precision (strict lower bound on any single pass) and also report a
+    10-pass model of the full step.  Returns (one_pass_ms, modeled_ms).
+    """
+    import scipy.linalg as sla
+
+    ts = np.linspace(0.0, T / 1000.0, T)
+    A, Q, P0 = matern32_ssm(ts)
+    d, n = 2, T
+    Qi = np.linalg.inv(Q)
+    P0i = np.linalg.inv(P0)
+    AtQi = np.transpose(A, (0, 2, 1)) @ Qi
+    diag = np.empty((n, d, d))
+    diag[0] = P0i + AtQi[0] @ A[0]
+    diag[1:] = Qi
+    diag[1:-1] += AtQi[1:] @ A[1:]
+    diag[:, 0, 0] += 25.0  # site precisions (Bernoulli-scale)
+    off = -Qi @ A
+    ab = np.zeros((2 * d, n * d))
+    for bi in range(d):
+        for bj in range(d):
+            r = bi - bj
+            if r >= 0:
+                ab[r, bj::d][:n] = diag[:, bi, bj]
+            ab[d + bi - bj, bj : (n - 1) * d : d] = off[:, bi, bj]
+    rhs = np.zeros(n * d)
+    rhs[0::d] = 1.0
+
+    def one_pass():
+        L = sla.cholesky_banded(ab, lower=True)
+        return sla.cho_solve_banded((L, True), rhs)
+
+    one_pass()
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        one_pass()
+        times.append(time.perf_counter() - t0)
+    ms = float(np.median(times)) * 1e3
+    return ms, 10.0 * ms
+
+
 def bench_tf_scan(T, reps=3):
     """Sequential TF Kalman filter (tf.function, CPU) + GradientTape step."""
     import tensorflow as tf
@@ -179,6 +233,16 @@ def main():
         "value": round(ms, 2), "unit": "ms", "loglik": round(ll, 2),
         "note": "LAPACK pbtrf lower bound on reference GPR step"}),
         flush=True)
+    for t_ng in (100_000, 2049):
+        ms1, ms10 = bench_scipy_natgrad_standin(t_ng)
+        print(json.dumps({
+            "metric": f"cpu_banded_natgrad_standin_T{t_ng}",
+            "value": round(ms1, 2), "unit": "ms",
+            "modeled_full_step_ms": round(ms10, 2),
+            "note": "one LAPACK banded factorization+solve on the "
+                    "block-tridiag precision (strict lower bound per banded "
+                    "pass); full natgrad step modeled as 10 passes"}),
+            flush=True)
     if not args.skip_tf:
         ms, ll = bench_tf_scan(args.T)
         print(json.dumps({

@@ -12,7 +12,8 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 
 from ..kalman_filter import KalmanFilter
-from ..utils.checks import check_time_points, is_uniform_grid
+from ..utils.checks import (check_observations, check_time_points,
+                            is_uniform_grid)
 from ..kernels import SDEKernel
 from ..likelihoods import Gaussian, MultivariateGaussian
 from ..mean_function import MeanFunction
@@ -51,13 +52,7 @@ class GaussianProcessRegression(MarkovFlowModel):
         re-detected by ``.replace(time_points=...)`` / ``.replace(kernel=...)``."""
         self.time_points, self.observations = input_data
         check_time_points(self.time_points)
-        obs_shape = jnp.shape(self.observations)
-        tp_shape = jnp.shape(self.time_points)
-        if (jnp.ndim(self.observations) != jnp.ndim(self.time_points) + 1
-                or obs_shape[:-1] != tp_shape):
-            raise ValueError(
-                "observations must have shape time_points.shape + [obs_dim]; "
-                f"got {obs_shape} for time points {tp_shape}")
+        check_observations(self.observations, self.time_points)
         self.kernel = kernel
         self.chol_obs_covariance = chol_obs_covariance
         self.mean_function = mean_function

@@ -16,7 +16,7 @@ from ..likelihoods import Likelihood
 from ..mean_function import MeanFunction
 from ..posterior import AnalyticPosteriorProcess
 from ..state_space_model import StateSpaceModel
-from ..utils.checks import check_time_points
+from ..utils.checks import check_observations, check_time_points
 from .models import MarkovFlowModel
 
 __all__ = ["VariationalGaussianProcess"]
@@ -31,6 +31,7 @@ class VariationalGaussianProcess(MarkovFlowModel):
         initialized from the prior (``create_trainable_copy`` analogue)."""
         self.time_points, self.observations = input_data
         check_time_points(self.time_points)
+        check_observations(self.observations, self.time_points)
         self.kernel = kernel
         self.likelihood = likelihood
         self.mean_function = mean_function

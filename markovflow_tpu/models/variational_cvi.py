@@ -24,7 +24,8 @@ from ..mean_function import MeanFunction
 from ..posterior import AnalyticPosteriorProcess
 from ..ssm_gaussian_transformations import naturals_to_ssm
 from ..state_space_model import StateSpaceModel
-from ..utils.checks import check_time_points, is_uniform_grid
+from ..utils.checks import (check_observations, check_time_points,
+                            is_uniform_grid)
 from .models import MarkovFlowModel
 
 __all__ = [
@@ -82,6 +83,7 @@ class GaussianProcessWithSitesBase(MarkovFlowModel):
         :class:`GaussianProcessRegression`)."""
         self.time_points, self.observations = input_data
         check_time_points(self.time_points)
+        check_observations(self.observations, self.time_points)
         self.kernel = kernel
         self.likelihood = likelihood
         self.mean_function = mean_function

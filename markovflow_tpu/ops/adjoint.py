@@ -222,10 +222,13 @@ def _make_uniform(engine: str):
             m_f, p_f, out = pallas_filter_pipeline_uniform(
                 Fc, cc, Qc, mu0, P0, Hc, nu, lam, maskf)
         else:
+            # Materialized fallback — still eligible for the GENERAL fused
+            # kernels (they cover d <= 12; the uniform kernels gate at 6).
             F, c, Q, H = _materialize_uniform(Fc, cc, Qc, mu0, P0, Hc,
                                               nu.shape[-1])
-            m_f, p_f, out = filter_pipeline_tl(F, c, Q, H, nu, lam,
-                                               maskf[..., 0, 0, :] > 0.5)
+            m_f, p_f, out = filter_pipeline_tl(
+                F, c, Q, H, nu, lam, maskf[..., 0, 0, :] > 0.5,
+                engine=pick_scan_engine(F, engine, lam))
         return out, (Fc, cc, Qc, mu0, P0, Hc, nu, lam, maskf, m_f, p_f)
 
     def bwd(res, g):
@@ -242,7 +245,7 @@ def _make_uniform(engine: str):
                                               nu.shape[-1])
             g_f, g_c, g_q, g_h, g_nu, g_lam = _adjoint_grads(
                 F, c, Q, H, nu, lam, maskf[..., 0, 0, :], m_f, p_f,
-                engine="xla")
+                engine=pick_scan_engine(F, engine, lam))
             gg = g[..., None, None, None]
             red = lambda x: jnp.sum(gg * x, axis=-1, keepdims=True)
             gFc = red(g_f[..., 1:])

@@ -156,6 +156,99 @@ def _inv_tl(m):
     return _to_tl(jnp.linalg.inv(_from_tl(m)))
 
 
+def _tri_inv_tl(l):
+    """Inverse of lower-triangular [..., d, d, N] over the matrix dims.
+
+    Closed forms for d <= 3, recursive 2x2 block reduction above (the
+    inverse of [[A, 0], [C, D]] is [[A^-1, 0], [-D^-1 C A^-1, D^-1]]) —
+    stays in TL layout with elementwise lane ops only.
+    """
+    d = l.shape[-3]
+    if d == 1:
+        return 1.0 / l
+    if not _unrolled_lane_ops():
+        eye = jnp.eye(d, dtype=l.dtype)
+        sol = jax.scipy.linalg.solve_triangular(
+            _from_tl(l), eye, lower=True)
+        return _to_tl(sol)
+    if d == 2:
+        ia = 1.0 / l[..., 0, 0, :]
+        idd = 1.0 / l[..., 1, 1, :]
+        z = jnp.zeros_like(ia)
+        return jnp.stack([
+            jnp.stack([ia, z], -2),
+            jnp.stack([-l[..., 1, 0, :] * ia * idd, idd], -2),
+        ], -3)
+    if d == 3:
+        a = l[..., 0, 0, :]
+        b = l[..., 1, 0, :]
+        c = l[..., 1, 1, :]
+        e = l[..., 2, 0, :]
+        f = l[..., 2, 1, :]
+        g = l[..., 2, 2, :]
+        ia, ic, ig = 1.0 / a, 1.0 / c, 1.0 / g
+        z = jnp.zeros_like(ia)
+        return jnp.stack([
+            jnp.stack([ia, z, z], -2),
+            jnp.stack([-b * ia * ic, ic, z], -2),
+            jnp.stack([(b * f - c * e) * ia * ic * ig, -f * ic * ig, ig], -2),
+        ], -3)
+    k = 3 if d <= 6 else (d + 1) // 2
+    a_i = _tri_inv_tl(l[..., :k, :k, :])
+    d_i = _tri_inv_tl(l[..., k:, k:, :])
+    bl = -_mm_tl(d_i, _mm_tl(l[..., k:, :k, :], a_i))
+    z = jnp.zeros(l.shape[:-3] + (k, d - k) + l.shape[-1:], l.dtype)
+    top = jnp.concatenate([a_i, z], axis=-2)
+    bot = jnp.concatenate([bl, d_i], axis=-2)
+    return jnp.concatenate([top, bot], axis=-3)
+
+
+def _chol_tl(m):
+    """Cholesky of symmetric PD [..., d, d, N] over the matrix dims.
+
+    Unrolled closed forms for d <= 3; recursive block form (Schur
+    complement on the trailing block) above.  Pure elementwise lane ops —
+    the batched LAPACK path relayouts every tiny block to a time-middle
+    (8, 128) tile on TPU and is unimplemented there for f64.
+    """
+    d = m.shape[-3]
+    if not _unrolled_lane_ops():
+        return _to_tl(jnp.linalg.cholesky(_from_tl(m)))
+    if d == 1:
+        return jnp.sqrt(m)
+    if d == 2:
+        a = jnp.sqrt(m[..., 0, 0, :])
+        b = m[..., 1, 0, :] / a
+        c = jnp.sqrt(m[..., 1, 1, :] - b * b)
+        z = jnp.zeros_like(a)
+        return jnp.stack([
+            jnp.stack([a, z], -2),
+            jnp.stack([b, c], -2),
+        ], -3)
+    if d == 3:
+        l11 = jnp.sqrt(m[..., 0, 0, :])
+        l21 = m[..., 1, 0, :] / l11
+        l31 = m[..., 2, 0, :] / l11
+        l22 = jnp.sqrt(m[..., 1, 1, :] - l21 * l21)
+        l32 = (m[..., 2, 1, :] - l31 * l21) / l22
+        l33 = jnp.sqrt(m[..., 2, 2, :] - l31 * l31 - l32 * l32)
+        z = jnp.zeros_like(l11)
+        return jnp.stack([
+            jnp.stack([l11, z, z], -2),
+            jnp.stack([l21, l22, z], -2),
+            jnp.stack([l31, l32, l33], -2),
+        ], -3)
+    k = 3 if d <= 6 else (d + 1) // 2
+    l11 = _chol_tl(m[..., :k, :k, :])
+    l21 = _mm_tl(m[..., k:, :k, :], _t_tl(_tri_inv_tl(l11)))
+    s = m[..., k:, k:, :] - _mm_tl(l21, _t_tl(l21))
+    l22 = _chol_tl(_sym_tl(s))
+    z = jnp.zeros(m.shape[:-3] + (k, d - k) + m.shape[-1:], m.dtype)
+    top = jnp.concatenate([l11, z], axis=-2)
+    bot = jnp.concatenate([l21, l22], axis=-2)
+    return jnp.concatenate([top, bot], axis=-3)
+
+
 def _combine_filter_tl(x, y):
     """TL-layout version of the Lemma-8 combination (x earlier, y later)."""
     xa, xb, xc, xj, xe = x

@@ -20,8 +20,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["affine_scan", "affine_cov_scan", "segmented_affine_cov_scan_tl",
-           "scan_tl", "CHUNK", "CHUNK_THRESHOLD"]
+__all__ = ["affine_scan", "affine_cov_scan", "affine_cov_scan_tl",
+           "segmented_affine_cov_scan_tl", "scan_tl", "CHUNK",
+           "CHUNK_THRESHOLD"]
 
 
 #: test hook: force the unrolled (True) or einsum/LU (False) TL forms
@@ -187,15 +188,10 @@ def affine_scan(F: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     return jnp.moveaxis(xs[..., 0, :], -1, -2)
 
 
-def affine_cov_scan(F: jnp.ndarray, c: jnp.ndarray, Q: jnp.ndarray):
-    """Prefix means/covariances of ``x_k = F_k x_{k-1} + c_k + w_k``, w~N(0, Q_k).
-
-    Returns ``(means [..., N, d], covs [..., N, d, d])``.  Encode the initial
-    distribution as element 0 with ``F_0 = 0, c_0 = mu_0, Q_0 = P_0``.
-    """
-    f_tl = jnp.moveaxis(F, -3, -1)
-    c_tl = jnp.moveaxis(c[..., None], -3, -1)
-    q_tl = jnp.moveaxis(Q, -3, -1)
+def affine_cov_scan_tl(f_tl, c_tl, q_tl):
+    """TL-layout core of :func:`affine_cov_scan`: inputs/outputs stay in
+    time-last layout (``f_tl``/``q_tl`` [..., d, d, N]; ``c_tl``
+    [..., d, 1, N]).  Returns (means [..., d, 1, N], covs [..., d, d, N])."""
 
     def combine(e1, e2):
         f1, c1, q1 = e1
@@ -206,6 +202,20 @@ def affine_cov_scan(F: jnp.ndarray, c: jnp.ndarray, Q: jnp.ndarray):
         return f, cc, 0.5 * (q + _t(q))
 
     _, ms, ps = scan_tl(combine, _affine_identity_like, (f_tl, c_tl, q_tl))
+    return ms, ps
+
+
+def affine_cov_scan(F: jnp.ndarray, c: jnp.ndarray, Q: jnp.ndarray):
+    """Prefix means/covariances of ``x_k = F_k x_{k-1} + c_k + w_k``, w~N(0, Q_k).
+
+    Returns ``(means [..., N, d], covs [..., N, d, d])``.  Encode the initial
+    distribution as element 0 with ``F_0 = 0, c_0 = mu_0, Q_0 = P_0``.
+    """
+    ms, ps = affine_cov_scan_tl(
+        jnp.moveaxis(F, -3, -1),
+        jnp.moveaxis(c[..., None], -3, -1),
+        jnp.moveaxis(Q, -3, -1),
+    )
     means = jnp.moveaxis(ms[..., 0, :], -1, -2)
     return means, jnp.moveaxis(ps, -1, -3)
 

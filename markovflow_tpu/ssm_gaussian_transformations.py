@@ -27,7 +27,16 @@ import jax
 import jax.numpy as jnp
 
 from .block_tri_diag import SymmetricBlockTriDiagonal
-from .ops.scans import affine_scan
+from .ops.kalman import (
+    _chol_tl,
+    _from_tl,
+    _inv_tl,
+    _mm_tl,
+    _sym_tl,
+    _t_tl,
+    _to_tl,
+)
+from .ops.scans import affine_cov_scan_tl, affine_scan
 from .state_space_model import StateSpaceModel
 from .utils.linalg import small_cholesky, small_inv, small_solve, symmetrize, tlt
 
@@ -45,38 +54,108 @@ __all__ = [
 
 
 # --------------------------------------------------------------------------
+# Time-last (TL) cores.
+#
+# Every transform here is elementwise d x d algebra over the N+1 states.  In
+# the public [..., N, d, d] layout each tiny block tile-pads to an (8, 128)
+# TPU tile and batched dot_generals relayout to time-middle (measured 223x;
+# see ops/kalman.py) — and the f64 VGP natgrad graph in that layout did not
+# finish XLA-compiling in 500 s at T = 1e5.  The cores below therefore work
+# in time-last layout [..., d, d, N] with unrolled lane ops; the public
+# wrappers convert at the boundary (transposes fuse under jit).  The
+# natural-gradient optimizer (ssm_natgrad.py) calls the TL cores directly so
+# no standard-layout intermediate is ever materialized inside its step.
+# --------------------------------------------------------------------------
+def _ssm_fields_tl(ssm: StateSpaceModel):
+    """(a [..., d, d, N], b [..., d, 1, N], l0 [..., d, d, 1],
+    lq [..., d, d, N], mu0 [..., d, 1, 1]) in TL layout."""
+    a_tl = _to_tl(ssm.state_transitions)
+    b_tl = _to_tl(ssm.state_offsets[..., None])
+    lq_tl = _to_tl(ssm.cholesky_process_covariances)
+    l0_tl = ssm.cholesky_initial_covariance[..., None]
+    mu0_tl = ssm.initial_mean[..., None, None]
+    return a_tl, b_tl, l0_tl, lq_tl, mu0_tl
+
+
+def ssm_to_expectations_tl(ssm: StateSpaceModel):
+    """TL-layout core of :func:`ssm_to_expectations`: returns
+    (eta_linear [..., d, 1, N+1], eta_diag [..., d, d, N+1],
+    eta_subdiag [..., d, d, N])."""
+    a_tl, b_tl, l0_tl, lq_tl, mu0_tl = _ssm_fields_tl(ssm)
+    zero_a = jnp.zeros_like(a_tl[..., :1])
+    f_tl = jnp.concatenate([zero_a, a_tl], axis=-1)
+    c_tl = jnp.concatenate([mu0_tl, b_tl], axis=-1)
+    chols = jnp.concatenate([l0_tl, lq_tl], axis=-1)
+    q_tl = _mm_tl(chols, _t_tl(chols))
+    means, covs = affine_cov_scan_tl(f_tl, c_tl, q_tl)
+    eta_linear = means
+    eta_diag = covs + _mm_tl(means, _t_tl(means))
+    eta_subdiag = _mm_tl(a_tl, covs[..., :-1]) + _mm_tl(
+        means[..., 1:], _t_tl(means[..., :-1]))
+    return eta_linear, eta_diag, eta_subdiag
+
+
+def expectations_to_ssm_params_tl(eta_linear, eta_diag, eta_subdiag):
+    """TL-layout core of :func:`expectations_to_ssm_params`: TL inputs (see
+    :func:`ssm_to_expectations_tl`), TL outputs
+    (a [..., d, d, N], b [..., d, 1, N], chol_p0 [..., d, d, 1],
+    chol_q [..., d, d, N], mu0 [..., d, 1, 1])."""
+    means = eta_linear
+    covs = eta_diag - _mm_tl(means, _t_tl(means))
+    # Cov(x_k, x_{k+1}) = eta_subdiag^T - mu_k mu_{k+1}^T
+    cov_right = _t_tl(eta_subdiag) - _mm_tl(
+        means[..., :-1], _t_tl(means[..., 1:]))
+    chols = _chol_tl(_sym_tl(covs))
+    a_s = _t_tl(_mm_tl(_inv_tl(_sym_tl(covs[..., :-1])), cov_right))
+    mu0 = means[..., :1]
+    chol_p0 = chols[..., :1]
+    b_s = means[..., 1:] - _mm_tl(a_s, means[..., :-1])
+    q_s = covs[..., 1:] - _mm_tl(a_s, _mm_tl(covs[..., :-1], _t_tl(a_s)))
+    chol_q_s = _chol_tl(_sym_tl(q_s))
+    return a_s, b_s, chol_p0, chol_q_s, mu0
+
+
+def ssm_to_naturals_tl(ssm: StateSpaceModel):
+    """TL-layout core of :func:`ssm_to_naturals`: returns
+    (theta_linear [..., d, 1, N+1], theta_diag [..., d, d, N+1],
+    theta_subdiag [..., d, d, N])."""
+    a_tl, b_tl, l0_tl, lq_tl, mu0_tl = _ssm_fields_tl(ssm)
+    chols = jnp.concatenate([l0_tl, lq_tl], axis=-1)
+    q_inv = _inv_tl(_sym_tl(_mm_tl(chols, _t_tl(chols))))  # index 0 = P0^-1
+    qinv_a = _mm_tl(q_inv[..., 1:], a_tl)
+    theta_subdiag = qinv_a
+    at_qinv_a = _mm_tl(_t_tl(a_tl), qinv_a)
+    zero = jnp.zeros_like(q_inv[..., :1])
+    theta_diag = -0.5 * (q_inv + jnp.concatenate([at_qinv_a, zero], axis=-1))
+    b_all = jnp.concatenate([mu0_tl, b_tl], axis=-1)
+    qinv_b = _mm_tl(q_inv, b_all)
+    at_qinv_b_next = _mm_tl(_t_tl(a_tl), qinv_b[..., 1:])
+    theta_linear = jnp.concatenate([
+        qinv_b[..., :-1] - at_qinv_b_next,
+        qinv_b[..., -1:],
+    ], axis=-1)
+    return theta_linear, theta_diag, theta_subdiag
+
+
+# --------------------------------------------------------------------------
 # expectations
 # --------------------------------------------------------------------------
 def ssm_to_expectations(ssm: StateSpaceModel):
     """(eta_linear [..., N+1, d], eta_diag [..., N+1, d, d],
     eta_subdiag [..., N, d, d]) (reference: :32-89)."""
-    means, covs = ssm.marginals
-    a_s = ssm.state_transitions
-    eta_linear = means
-    eta_diag = covs + means[..., None] * means[..., None, :]
-    eta_subdiag = a_s @ covs[..., :-1, :, :] + \
-        means[..., 1:, :, None] * means[..., :-1, None, :]
-    return eta_linear, eta_diag, eta_subdiag
+    eta_linear, eta_diag, eta_subdiag = ssm_to_expectations_tl(ssm)
+    return (_from_tl(eta_linear)[..., 0], _from_tl(eta_diag),
+            _from_tl(eta_subdiag))
 
 
 def expectations_to_ssm_params(eta_linear, eta_diag, eta_subdiag):
     """Inverse of :func:`ssm_to_expectations` (reference: :93-178).
 
     Returns (A_s, b_s, chol_P0, chol_Q_s, mu0)."""
-    means = eta_linear
-    covs = eta_diag - means[..., None] * means[..., None, :]
-    # Cov(x_k, x_{k+1}) = eta_subdiag^T - mu_k mu_{k+1}^T
-    cov_right = tlt(eta_subdiag) - means[..., :-1, :, None] * \
-        means[..., 1:, None, :]
-    chols = small_cholesky(symmetrize(covs))
-    a_s = tlt(small_solve(symmetrize(covs[..., :-1, :, :]), cov_right))
-    mu0 = means[..., 0, :]
-    chol_p0 = chols[..., 0, :, :]
-    b_s = means[..., 1:, :] - jnp.einsum(
-        "...nij,...nj->...ni", a_s, means[..., :-1, :])
-    q_s = covs[..., 1:, :, :] - a_s @ covs[..., :-1, :, :] @ tlt(a_s)
-    chol_q_s = small_cholesky(symmetrize(q_s))
-    return a_s, b_s, chol_p0, chol_q_s, mu0
+    a_s, b_s, chol_p0, chol_q_s, mu0 = expectations_to_ssm_params_tl(
+        _to_tl(eta_linear[..., None]), _to_tl(eta_diag), _to_tl(eta_subdiag))
+    return (_from_tl(a_s), _from_tl(b_s)[..., 0], chol_p0[..., 0],
+            _from_tl(chol_q_s), mu0[..., 0, 0])
 
 
 def expectations_to_ssm(eta_linear, eta_diag, eta_subdiag) -> StateSpaceModel:
@@ -88,33 +167,11 @@ def expectations_to_ssm(eta_linear, eta_diag, eta_subdiag) -> StateSpaceModel:
 # --------------------------------------------------------------------------
 # naturals (with smoothing)
 # --------------------------------------------------------------------------
-def _q_inverses(ssm: StateSpaceModel):
-    """(P0^{-1} prepended) Q_k^{-1} for k = 0..N, [..., N+1, d, d]."""
-    l0 = ssm.cholesky_initial_covariance[..., None, :, :]
-    lq = ssm.cholesky_process_covariances
-    chols = jnp.concatenate([l0, lq], axis=-3)
-    return small_inv(symmetrize(chols @ tlt(chols)))
-
-
 def ssm_to_naturals(ssm: StateSpaceModel):
     """(theta_linear, theta_diag, theta_subdiag) (reference: :182-253)."""
-    a_s = ssm.state_transitions
-    q_inv = _q_inverses(ssm)  # index 0 = P0^{-1}
-    qinv_a = q_inv[..., 1:, :, :] @ a_s
-    theta_subdiag = qinv_a
-    at_qinv_a = jnp.einsum("...nji,...njk->...nik", a_s, qinv_a)
-    zero = jnp.zeros_like(q_inv[..., :1, :, :])
-    theta_diag = -0.5 * (q_inv + jnp.concatenate([at_qinv_a, zero], axis=-3))
-    b_all = jnp.concatenate(
-        [ssm.initial_mean[..., None, :], ssm.state_offsets], axis=-2)
-    qinv_b = jnp.einsum("...nij,...nj->...ni", q_inv, b_all)
-    at_qinv_b_next = jnp.einsum(
-        "...nji,...nj->...ni", a_s, qinv_b[..., 1:, :])
-    theta_linear = jnp.concatenate([
-        qinv_b[..., :-1, :] - at_qinv_b_next,
-        qinv_b[..., -1:, :],
-    ], axis=-2)
-    return theta_linear, theta_diag, theta_subdiag
+    theta_linear, theta_diag, theta_subdiag = ssm_to_naturals_tl(ssm)
+    return (_from_tl(theta_linear)[..., 0], _from_tl(theta_diag),
+            _from_tl(theta_subdiag))
 
 
 def naturals_to_ssm_params(theta_linear, theta_diag, theta_subdiag):
@@ -188,15 +245,23 @@ def naturals_to_ssm_params_parallel(theta_linear, theta_diag, theta_subdiag):
     cancellation occurs — unlike e.g. a unit-noise synthetic prior, whose
     ``Lam ~ theta_subdiag^T theta_subdiag`` squares the scale of J.
     """
+    a_tl, b_tl, chol_p0, chol_q_tl, mu0_tl = naturals_to_ssm_params_parallel_tl(
+        _to_tl(theta_linear[..., None]), _to_tl(theta_diag),
+        _to_tl(theta_subdiag))
+    return (_from_tl(a_tl), _from_tl(b_tl)[..., 0], chol_p0[..., 0],
+            _from_tl(chol_q_tl), mu0_tl[..., 0, 0])
+
+
+def naturals_to_ssm_params_parallel_tl(th_lin, th_diag, th_sub):
+    """TL-layout core of :func:`naturals_to_ssm_params_parallel`.
+
+    Inputs: th_lin [..., d, 1, N+1], th_diag [..., d, d, N+1],
+    th_sub [..., d, d, N].  Outputs: (a [..., d, d, N], b [..., d, 1, N],
+    chol_p0 [..., d, d, 1], chol_q [..., d, d, N], mu0 [..., d, 1, 1])."""
     from .ops import kalman as K
 
-    to_tl = lambda x: jnp.moveaxis(x, -3, -1)
-    from_tl = lambda x: jnp.moveaxis(x, -1, -3)
-    th_lin = to_tl(theta_linear[..., None])          # [..., d, 1, N+1]
-    th_diag = to_tl(theta_diag)                      # [..., d, d, N+1]
-    th_sub = to_tl(theta_subdiag)                    # [..., d, d, N]
-    d = theta_diag.shape[-1]
-    dtype = theta_diag.dtype
+    d = th_diag.shape[-3]
+    dtype = th_diag.dtype
     eye = jnp.eye(d, dtype=dtype)[..., None]
 
     q_tl = K._inv_tl(-th_diag)                       # Q_k = (-theta_diag_k)^-1
@@ -214,12 +279,10 @@ def naturals_to_ssm_params_parallel(theta_linear, theta_diag, theta_subdiag):
     m_s, p_s, gains = K.smoother_pipeline_tl(f_tl, c_tl, q_tl, m_f, p_f)
     mu0_tl, p0_tl, a_tl, b_tl, qp_tl = K.posterior_ssm_params_tl(
         m_s, p_s, gains)
-    a_s = from_tl(a_tl)
-    b_s = from_tl(b_tl)[..., 0]
-    q_s = from_tl(qp_tl)
-    chol_q_s = small_cholesky(symmetrize(q_s))
-    chol_p0 = small_cholesky(symmetrize(p0_tl))
-    return a_s, b_s, chol_p0, chol_q_s, mu0_tl[..., 0]
+    chol_q_tl = _chol_tl(_sym_tl(qp_tl))
+    # posterior_ssm_params_tl returns mu0/P0 without a time axis; restore it
+    chol_p0 = _chol_tl(_sym_tl(p0_tl[..., None]))
+    return a_tl, b_tl, chol_p0, chol_q_tl, mu0_tl[..., None]
 
 
 # --------------------------------------------------------------------------
@@ -227,25 +290,28 @@ def naturals_to_ssm_params_parallel(theta_linear, theta_diag, theta_subdiag):
 # --------------------------------------------------------------------------
 def ssm_to_naturals_no_smoothing(ssm: StateSpaceModel):
     """(reference: :257-329)."""
-    a_s = ssm.state_transitions
-    q_inv = _q_inverses(ssm)
-    theta_subdiag = q_inv[..., 1:, :, :] @ a_s
+    a_tl, b_tl, l0_tl, lq_tl, mu0_tl = _ssm_fields_tl(ssm)
+    chols = jnp.concatenate([l0_tl, lq_tl], axis=-1)
+    q_inv = _inv_tl(_sym_tl(_mm_tl(chols, _t_tl(chols))))
+    theta_subdiag = _mm_tl(q_inv[..., 1:], a_tl)
     theta_diag = -0.5 * q_inv
-    b_all = jnp.concatenate(
-        [ssm.initial_mean[..., None, :], ssm.state_offsets], axis=-2)
-    theta_linear = jnp.einsum("...nij,...nj->...ni", q_inv, b_all)
-    return theta_linear, theta_diag, theta_subdiag
+    b_all = jnp.concatenate([mu0_tl, b_tl], axis=-1)
+    theta_linear = _mm_tl(q_inv, b_all)
+    return (_from_tl(theta_linear)[..., 0], _from_tl(theta_diag),
+            _from_tl(theta_subdiag))
 
 
 def naturals_to_ssm_params_no_smoothing(theta_linear, theta_diag,
                                         theta_subdiag):
     """Inverse of :func:`ssm_to_naturals_no_smoothing` (reference: :515-593)."""
-    q_all = small_inv(symmetrize(-2.0 * theta_diag))
-    q_all = symmetrize(q_all)
-    chol_all = small_cholesky(q_all)
-    chol_p0 = chol_all[..., 0, :, :]
-    chol_q_s = chol_all[..., 1:, :, :]
-    a_s = q_all[..., 1:, :, :] @ theta_subdiag
-    b_all = jnp.einsum("...nij,...nj->...ni", q_all, theta_linear)
-    mu0 = b_all[..., 0, :]
-    return a_s, b_all[..., 1:, :], chol_p0, chol_q_s, mu0
+    th_lin = _to_tl(theta_linear[..., None])
+    th_diag = _to_tl(theta_diag)
+    th_sub = _to_tl(theta_subdiag)
+    q_all = _sym_tl(_inv_tl(_sym_tl(-2.0 * th_diag)))
+    chol_all = _chol_tl(q_all)
+    chol_p0 = chol_all[..., 0]
+    chol_q_s = _from_tl(chol_all[..., 1:])
+    a_s = _from_tl(_mm_tl(q_all[..., 1:], th_sub))
+    b_all = _mm_tl(q_all, th_lin)
+    mu0 = b_all[..., 0, 0]
+    return a_s, _from_tl(b_all[..., 1:])[..., 0], chol_p0, chol_q_s, mu0

@@ -31,12 +31,14 @@ from typing import Callable, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from .ops.kalman import _from_tl, _to_tl
 from .ssm_gaussian_transformations import (
-    expectations_to_ssm_params,
+    expectations_to_ssm_params_tl,
     naturals_to_ssm,
-    naturals_to_ssm_params_parallel,
-    ssm_to_expectations,
+    naturals_to_ssm_params_parallel_tl,
+    ssm_to_expectations_tl,
     ssm_to_naturals,
+    ssm_to_naturals_tl,
 )
 from .state_space_model import StateSpaceModel
 
@@ -67,17 +69,22 @@ class SSMNaturalGradient:
         self.epsilon = epsilon
         self.naturals_engine = naturals_engine
 
-    def _naturals_to_ssm(self, theta) -> StateSpaceModel:
+    def _naturals_to_ssm_tl(self, theta_tl) -> StateSpaceModel:
+        """theta (TL layout) -> StateSpaceModel (standard-layout fields)."""
         if self.naturals_engine == "parallel":
-            a_s, b_s, chol_p0, chol_q_s, mu0 = naturals_to_ssm_params_parallel(
-                *theta)
-            return StateSpaceModel(mu0, chol_p0, a_s, b_s, chol_q_s)
-        return naturals_to_ssm(*theta)
+            a_tl, b_tl, chol_p0, chol_q_tl, mu0 = \
+                naturals_to_ssm_params_parallel_tl(*theta_tl)
+            return StateSpaceModel(
+                mu0[..., 0, 0], chol_p0[..., 0], _from_tl(a_tl),
+                _from_tl(b_tl)[..., 0], _from_tl(chol_q_tl))
+        th_lin, th_diag, th_sub = theta_tl
+        return naturals_to_ssm(_from_tl(th_lin)[..., 0], _from_tl(th_diag),
+                               _from_tl(th_sub))
 
     def init(self, ssm: StateSpaceModel) -> NatGradState:
         if not self.momentum:
             return NatGradState(None, jnp.zeros(()), jnp.zeros((), jnp.int32))
-        theta = ssm_to_naturals(ssm)
+        theta = ssm_to_naturals_tl(ssm)
         zeros = jax.tree_util.tree_map(jnp.zeros_like, theta)
         return NatGradState(zeros, jnp.zeros(()), jnp.zeros((), jnp.int32))
 
@@ -100,18 +107,23 @@ class SSMNaturalGradient:
         if state is None:
             state = self.init(ssm)
         loss, g_ssm = jax.value_and_grad(loss_fn)(ssm)
-        g_tuple = (
-            g_ssm.state_transitions,
-            g_ssm.state_offsets,
-            g_ssm.cholesky_initial_covariance,
-            g_ssm.cholesky_process_covariances,
-            g_ssm.initial_mean,
+        # Everything below runs in time-last layout: the standard
+        # [N, d, d] layout tile-pads every d x d block to an (8, 128) TPU
+        # tile, and the f64 natgrad graph in that layout did not finish
+        # XLA-compiling in 500 s at T = 1e5 (ssm_to_naturals alone: 222 s).
+        # moveaxis of the loss cotangents is exact (a relayout, not math).
+        g_tl = (
+            _to_tl(g_ssm.state_transitions),
+            _to_tl(g_ssm.state_offsets[..., None]),
+            g_ssm.cholesky_initial_covariance[..., None],
+            _to_tl(g_ssm.cholesky_process_covariances),
+            g_ssm.initial_mean[..., None, None],
         )
-        eta = ssm_to_expectations(ssm)
-        _, vjp_fn = jax.vjp(lambda e: expectations_to_ssm_params(*e), eta)
-        (g_eta,) = vjp_fn(g_tuple)  # dL/d eta == natgrad direction in theta
+        eta = ssm_to_expectations_tl(ssm)
+        _, vjp_fn = jax.vjp(lambda e: expectations_to_ssm_params_tl(*e), eta)
+        (g_eta,) = vjp_fn(g_tl)  # dL/d eta == natgrad direction in theta
 
-        theta = ssm_to_naturals(ssm)
+        theta = ssm_to_naturals_tl(ssm)
         if self.momentum:
             mom = jax.tree_util.tree_map(
                 lambda m, g: self.beta1 * m + (1.0 - self.beta1) * g,
@@ -132,5 +144,5 @@ class SSMNaturalGradient:
             theta_new = jax.tree_util.tree_map(
                 lambda t, g: t - self.gamma * g, theta, g_eta)
             state = NatGradState(None, state.fisher_norm, state.count + 1)
-        new_ssm = self._naturals_to_ssm(theta_new)
+        new_ssm = self._naturals_to_ssm_tl(theta_new)
         return new_ssm, state, loss

@@ -205,41 +205,67 @@ class StateSpaceModel(GaussMarkovDistribution):
 
     def kl_divergence(self, other: "StateSpaceModel") -> jnp.ndarray:
         """KL[self || other], closed form from marginal/pairwise statistics
-        (reference: :528-593)."""
+        (reference: :528-593).
+
+        Runs in time-last layout: the per-transition terms are elementwise
+        d x d algebra over N, and the standard [N, d, d] layout tile-pads
+        every block to an (8, 128) TPU tile with time-middle dot_generals
+        (measured 223x slower; see ops/kalman.py).  This sits inside every
+        VGP/natgrad training graph, so its layout decides that family's
+        compile and step time.
+        """
+        from .ops.kalman import _inv_tl, _mm_tl, _sym_tl, _t_tl, _to_tl
+        from .ops.scans import affine_cov_scan_tl
+
         check_compatible(self, other)
         q, p = self, other
-        mq, pq = q.marginals
-        cq = q.subsequent_covariances(pq)  # Cov(x_{k+1}, x_k)
         n_states = q.num_transitions + 1
         d = q.state_dim
         dtype = q.dtype
+
+        # TL marginals of q
+        aq_tl = _to_tl(q.state_transitions)
+        zero_a = jnp.zeros_like(aq_tl[..., :1])
+        f_tl = jnp.concatenate([zero_a, aq_tl], axis=-1)
+        c_tl = jnp.concatenate(
+            [q.initial_mean[..., None, None],
+             _to_tl(q.state_offsets[..., None])], axis=-1)
+        lq_tl = jnp.concatenate(
+            [q.cholesky_initial_covariance[..., None],
+             _to_tl(q.cholesky_process_covariances)], axis=-1)
+        qq_tl = _mm_tl(lq_tl, _t_tl(lq_tl))
+        mq, pq = affine_cov_scan_tl(f_tl, c_tl, qq_tl)  # [d,1,N+1], [d,d,N+1]
+        cq = _mm_tl(aq_tl, pq[..., :-1])  # Cov(x_{k+1}, x_k) [d,d,N]
 
         # E_q[log q] = 0.5 log|Kq^{-1}| - 0.5 (T+1) d log(2 pi e)
         e_log_q = 0.5 * q.log_det_precision - 0.5 * n_states * d * (
             jnp.log(jnp.asarray(2.0 * jnp.pi, dtype)) + 1.0)
 
-        # E_q[log p]: initial term
+        # E_q[log p]: initial term (one block — standard layout is fine)
         l0p = p.cholesky_initial_covariance
-        term0 = mvn_logpdf(mq[..., 0, :], p.initial_mean, l0p)
+        term0 = mvn_logpdf(mq[..., 0, 0], p.initial_mean, l0p)
         x = jax.scipy.linalg.solve_triangular(
-            l0p, pq[..., 0, :, :], lower=True)
+            l0p, pq[..., 0], lower=True)
         x = jax.scipy.linalg.solve_triangular(tlt(l0p), x, lower=False)
         term0 -= 0.5 * jnp.trace(x, axis1=-2, axis2=-1)  # tr(P0p^{-1} Pq0)
 
-        # transition terms
-        Ap, bp = p.state_transitions, p.state_offsets
-        lqp = p.cholesky_process_covariances
-        r_mean = (mq[..., 1:, :]
-                  - jnp.einsum("...nij,...nj->...ni", Ap, mq[..., :-1, :]) - bp)
-        ap_cq_t = jnp.einsum("...nij,...nkj->...nik", Ap, cq)  # Ap Cq^T
-        r_cov = (pq[..., 1:, :, :] - ap_cq_t - tlt(ap_cq_t)
-                 + Ap @ pq[..., :-1, :, :] @ tlt(Ap))
-        term_t = mvn_logpdf(r_mean, jnp.zeros_like(r_mean), lqp)
-        # tr(Qp^{-1} r_cov) via two triangular solves (avoids chol of r_cov,
-        # which may be merely PSD).
-        y = jax.scipy.linalg.solve_triangular(lqp, symmetrize(r_cov), lower=True)
-        z = jax.scipy.linalg.solve_triangular(tlt(lqp), y, lower=False)
-        term_t -= 0.5 * jnp.trace(z, axis1=-2, axis2=-1)
+        # transition terms, all TL
+        ap_tl = _to_tl(p.state_transitions)
+        bp_tl = _to_tl(p.state_offsets[..., None])
+        lqp_tl = _to_tl(p.cholesky_process_covariances)
+        r_mean = mq[..., 1:] - _mm_tl(ap_tl, mq[..., :-1]) - bp_tl
+        ap_cq_t = _mm_tl(ap_tl, _t_tl(cq))  # Ap Cq^T
+        r_cov = (pq[..., 1:] - ap_cq_t - _t_tl(ap_cq_t)
+                 + _mm_tl(ap_tl, _mm_tl(pq[..., :-1], _t_tl(ap_tl))))
+        qp_inv = _inv_tl(_sym_tl(_mm_tl(lqp_tl, _t_tl(lqp_tl))))
+        maha = jnp.sum(r_mean * _mm_tl(qp_inv, r_mean), axis=(-3, -2))
+        diag_lqp = jnp.stack(
+            [lqp_tl[..., i, i, :] for i in range(d)], axis=-2)
+        log_det_qp = 2.0 * jnp.sum(jnp.log(jnp.abs(diag_lqp)), axis=-2)
+        log2pi = jnp.log(jnp.asarray(2.0 * jnp.pi, dtype))
+        term_t = -0.5 * (maha + log_det_qp + d * log2pi)
+        # tr(Qp^{-1} r_cov): elementwise contraction of two symmetric blocks
+        term_t -= 0.5 * jnp.sum(qp_inv * _sym_tl(r_cov), axis=(-3, -2))
         e_log_p = term0 + jnp.sum(term_t, axis=-1)
         return e_log_q - e_log_p
 

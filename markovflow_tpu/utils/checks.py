@@ -12,7 +12,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["check_time_points", "check_shape_suffix", "is_uniform_grid"]
+__all__ = ["check_time_points", "check_observations", "check_shape_suffix",
+           "is_uniform_grid"]
 
 
 def _is_concrete(x) -> bool:
@@ -55,6 +56,21 @@ def check_time_points(time_points, name: str = "time_points"):
                 raise ValueError(
                     f"{name} must be sorted in non-decreasing order along "
                     "the last axis")
+
+
+def check_observations(observations, time_points,
+                       name: str = "observations"):
+    """Raise unless ``observations`` is ``time_points.shape + [obs_dim]``
+    with ``obs_dim >= 1`` (static shape checks; always run)."""
+    obs_shape = jnp.shape(observations)
+    tp_shape = jnp.shape(time_points)
+    if (len(obs_shape) != len(tp_shape) + 1
+            or obs_shape[:-1] != tp_shape):
+        raise ValueError(
+            f"{name} must have shape time_points.shape + [obs_dim]; "
+            f"got {obs_shape} for time points {tp_shape}")
+    if obs_shape[-1] < 1:
+        raise ValueError(f"{name} must have obs_dim >= 1, got {obs_shape}")
 
 
 def is_uniform_grid(time_points) -> bool:
