@@ -53,8 +53,8 @@ TARGET_MS = 50.0
 
 # Per-config hard wall-clock budgets (seconds), compile included.  The
 # headline (gpr_cvi) gets the largest share; one retry if it times out.
-TIMEBOXES = {"gpr_cvi": 600, "sde": 240, "vgp": 420, "svgp": 420,
-             "parity": 300, "d9": 300}
+TIMEBOXES = {"gpr_cvi": 600, "sde": 240, "vgp": 600, "svgp": 600,
+             "parity": 420, "d9": 300}
 
 
 def _note(msg):
