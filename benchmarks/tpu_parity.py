@@ -36,12 +36,13 @@ def main(t_len: int = 100_000) -> None:
     y = (np.sin(2.0 * x) + 0.2 * rng.standard_normal(t_len))[:, None]
     yj = jnp.asarray(y, jnp.float32)
 
-    def make(uniform: bool):
+    def make(uniform: bool, grad_engine: str = "koopman"):
         return GaussianProcessRegression(
             input_data=(x.astype(np.float32), yj),
             kernel=Matern32(lengthscale=0.5, variance=1.0),
             chol_obs_covariance=jnp.asarray([[0.2]], jnp.float32),
-            uniform_grid=None if uniform else False)
+            uniform_grid=None if uniform else False,
+            grad_engine=grad_engine)
 
     mask = trainable_mask(make(True))
 
@@ -56,8 +57,7 @@ def main(t_len: int = 100_000) -> None:
         print(f"{name}: loss={float(loss):.6f}", flush=True)
 
     # XLA-engine oracle (no Pallas anywhere)
-    m = make(False)
-    object.__setattr__(m, "grad_engine", "autodiff")
+    m = make(False, grad_engine="autodiff")
     loss, gl = jax.jit(value_and_grads)(m)
     results["xla_autodiff"] = (float(loss), [np.asarray(g) for g in gl])
     print(f"xla_autodiff: loss={float(loss):.6f}", flush=True)
