@@ -1,9 +1,10 @@
 """Sparse PEP tests (pattern: reference tests/integration/models/test_sparse_pep.py)."""
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from numpy.testing import assert_allclose
 
-from markovflow_tpu.kernels import Matern32
+from markovflow_tpu.kernels import Matern12, Matern32, Matern52
 from markovflow_tpu.likelihoods import Gaussian, PEPGaussian
 from markovflow_tpu.models import GaussianProcessRegression
 from markovflow_tpu.models.sparse_pep import SparsePowerExpectationPropagation
@@ -43,13 +44,23 @@ def test_spep_dense_inducing_recovers_gpr(rng):
     assert float(jnp.max(jnp.abs(f_s - f_g))) < 0.3
 
 
-def test_spep_improves_elbo(rng):
+@pytest.mark.parametrize("alpha,lr", [(0.5, 0.5), (0.8, 0.5), (1.0, 0.3)])
+@pytest.mark.parametrize("make_kernel", [
+    lambda: Matern32(lengthscale=0.7, variance=1.2),
+    lambda: Matern52(lengthscale=0.9, variance=0.8),
+    lambda: Matern32(lengthscale=0.7, variance=1.2)
+    + Matern12(lengthscale=2.0, variance=0.3),
+], ids=["m32", "m52", "sum_d3"])
+def test_spep_improves_elbo(rng, alpha, lr, make_kernel):
+    """Site updates raise the bound across alpha values and kernel
+    state-dims (the reference sweeps PEP configs the same way:
+    tests/integration/models/test_sparse_pep.py)."""
     x, y = make_data(rng, n=30)
     z = jnp.asarray(np.linspace(0.0, 5.0, 7))
     spep = SparsePowerExpectationPropagation(
-        Matern32(lengthscale=0.7, variance=1.2), z,
-        PEPGaussian(Gaussian(variance=NOISE**2)), learning_rate=0.5,
-        alpha=0.8)
+        make_kernel(), z,
+        PEPGaussian(Gaussian(variance=NOISE**2)), learning_rate=lr,
+        alpha=alpha)
     e0 = float(CLASSIC_ELBO_D(spep, (x, y)))
     for _ in range(8):
         spep = UPDATE_SITES_D(spep, (x, y))

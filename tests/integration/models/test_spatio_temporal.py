@@ -3,9 +3,10 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from numpy.testing import assert_allclose
 
-from markovflow_tpu.kernels import Matern32
+from markovflow_tpu.kernels import Matern32, Matern52
 from markovflow_tpu.kernels.spatial import SquaredExponential
 from markovflow_tpu.likelihoods import Gaussian
 from markovflow_tpu.models.spatio_temporal_variational import (
@@ -18,8 +19,8 @@ from markovflow_tpu.ssm_natgrad import SSMNaturalGradient
 from tests.tools import ELBO_D, UPDATE_SITES_D
 
 
-def make_data(rng, n=40):
-    s = rng.uniform(0, 1, (n, 1))
+def make_data(rng, n=40, space_dim=1):
+    s = rng.uniform(0, 1, (n, space_dim))
     t = np.sort(rng.uniform(0, 3, n))
     x = np.concatenate([s, t[:, None]], axis=-1)  # [n, space+1]
     f = np.sin(3 * t) * np.cos(2 * s[:, 0])
@@ -27,12 +28,22 @@ def make_data(rng, n=40):
     return jnp.asarray(x), jnp.asarray(y)
 
 
-def setup(rng):
-    x, y = make_data(rng)
-    zs = jnp.asarray(np.linspace(0.05, 0.95, 4)[:, None])
+def setup(rng, config="m32_s1"):
+    """Two swept configs (the reference exercises spatio-temporal models in
+    one config only; this build sweeps temporal state-dim and space dim):
+    m32_s1 = Matern32 time kernel, 1-D space, 4 inducing space points;
+    m52_s2 = Matern52 time kernel (state_dim 3), 2-D space, 3 points."""
+    if config == "m32_s1":
+        x, y = make_data(rng)
+        zs = jnp.asarray(np.linspace(0.05, 0.95, 4)[:, None])
+        kt = Matern32(lengthscale=1.0, variance=1.0)
+    else:
+        x, y = make_data(rng, space_dim=2)
+        grid = np.linspace(0.1, 0.9, 3)
+        zs = jnp.asarray(np.stack([grid, grid[::-1]], axis=-1))
+        kt = Matern52(lengthscale=1.0, variance=1.0)
     zt = jnp.asarray(np.linspace(0.0, 3.0, 6))
     ks = SquaredExponential(lengthscale=0.5, variance=1.0)
-    kt = Matern32(lengthscale=1.0, variance=1.0)
     return x, y, zs, zt, ks, kt
 
 
@@ -69,8 +80,9 @@ def test_batch_base_conditional_prior(rng):
     assert_allclose(np.asarray(var), np.asarray(knn), atol=1e-8)
 
 
-def test_st_svgp_trains(rng):
-    x, y, zs, zt, ks, kt = setup(rng)
+@pytest.mark.parametrize("config", ["m32_s1", "m52_s2"])
+def test_st_svgp_trains(rng, config):
+    x, y, zs, zt, ks, kt = setup(rng, config)
     model = SpatioTemporalSparseVariational(
         inducing_space=zs, inducing_time=zt, kernel_space=ks, kernel_time=kt,
         likelihood=Gaussian(variance=0.1**2))
@@ -91,8 +103,9 @@ def test_st_svgp_trains(rng):
     assert np.all(np.asarray(f_var) > 0)
 
 
-def test_st_cvi_trains(rng):
-    x, y, zs, zt, ks, kt = setup(rng)
+@pytest.mark.parametrize("config", ["m32_s1", "m52_s2"])
+def test_st_cvi_trains(rng, config):
+    x, y, zs, zt, ks, kt = setup(rng, config)
     model = SpatioTemporalSparseCVI(
         inducing_space=zs, inducing_time=zt, kernel_space=ks, kernel_time=kt,
         likelihood=Gaussian(variance=0.1**2), learning_rate=0.8)
