@@ -10,24 +10,30 @@ field carries one driver-captured number per BASELINE.md config:
   4. cvi      — CVI full iteration (site update + ELBO grad), T = 1e6, f32
   5. sde      — DoubleWell SDE VI iteration (linearize + smooth + KL), f32
 
-plus two recorded-quality extras: ``parity`` (on-chip f32-engine losses vs
-the f64 oracle value at T = 2e4, as ``parity_rel_*`` fields) and ``d9``
-(Sum-of-three-Matern52 GPR step, state_dim 9 — the recursive d <= 12
-Pallas fast path).
+plus two recorded-quality extras: ``parity`` (on-chip f32-engine loss AND
+gradient parity vs the f64 oracle at T = 2e4, with a ``parity_fail`` flag
+when loss parity exceeds the 1e-6 budget) and ``d9`` (Sum-of-three-Matern52
+GPR step, state_dim 9 — the recursive d <= 12 Pallas fast path).
 
-Robustness contract (round-2 postmortem: a single slow config zeroed the
-whole record — BENCH_r02.json rc=124/parsed=null):
+Robustness contract (round-3 postmortem: the bench emitted numbers for only
+2/5 configs because per-config timeboxes summed past the driver's own
+wall-clock and three configs died with bare "timeout" strings):
 
+  * ONE GLOBAL BUDGET (default 1380 s, env MFTPU_BENCH_BUDGET_S) governs
+    the whole run; configs run cheapest-first and each child's timebox is
+    clamped to what the global budget can still afford, reserving minimum
+    boxes for the configs behind it.  A config whose minimum no longer
+    fits is skipped explicitly — but the ordering makes that the rare case.
   * Each config runs in its OWN subprocess with a hard wall-clock timebox;
     a hung XLA compile cannot take the parent (or the other configs) down.
-  * The parent prints the full headline JSON line after EVERY config
-    completes, so a driver-level kill still leaves the latest complete
-    record on stdout.
-  * The slope protocol widens the K spread (K=1 vs K=8, divide by 7),
-    retries with more reps while the slope is non-positive, and as a last
-    resort reports the positive upper bound t_K/K tagged
-    ``protocol=mean-upper-bound`` — it can never emit a negative number
-    (round 2 shipped CVI = −3.904 ms).
+  * Children print PROVISIONAL results (measured upper bounds, tagged
+    ``*-upper-bound``) as soon as they have them, then refine; on a child
+    timeout the parent harvests the last BENCH_RESULT line from the
+    partial stdout, so a slow config yields a bounded number, never a bare
+    "timeout".
+  * The parent prints the full headline JSON line after EVERY config.
+  * The slope protocol retries while the slope is non-positive and falls
+    back to the mean upper bound — it can never emit a negative number.
 
 Timing protocol (honest; see benchmarks/harness.py): on the axon runtime
 ``jax.block_until_ready`` is a NO-OP, so naive loops measure dispatch
@@ -51,14 +57,31 @@ import time
 HERE = os.path.dirname(os.path.abspath(__file__))
 TARGET_MS = 50.0
 
-# Per-config hard wall-clock budgets (seconds), compile included.  The
-# headline (gpr_cvi) gets the largest share; one retry if it times out.
-TIMEBOXES = {"gpr_cvi": 600, "sde": 240, "vgp": 600, "svgp": 600,
-             "parity": 420, "d9": 300}
+#: Global wall-clock budget for the whole bench (seconds).
+BUDGET_S = int(os.environ.get("MFTPU_BENCH_BUDGET_S", "1380"))
+
+# Per-config (nominal, minimum) wall-clock boxes, seconds, compile included.
+# Ordered cheapest-first AFTER the headline; the global budget clamps the
+# nominal and skips a config only when even its minimum no longer fits.
+BOXES = {
+    "gpr_cvi": (420, 300),
+    "parity": (240, 120),
+    "sde": (120, 60),
+    "d9": (240, 90),
+    "vgp": (420, 240),
+    "svgp": (420, 240),
+}
+ORDER = ["gpr_cvi", "parity", "sde", "d9", "vgp", "svgp"]
 
 
 def _note(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def _emit_partial(out):
+    """Child-side: print a provisional/complete result line.  The parent
+    always takes the LAST such line, so refinements overwrite."""
+    print("BENCH_RESULT " + json.dumps(out), flush=True)
 
 
 # --------------------------------------------------------------------------
@@ -125,13 +148,13 @@ def _slope(step, args, reps=7):
     return t[hi] / hi * 1e3, "mean-upper-bound"
 
 
-def _slope_dispatch(step_fn, state0, read, reps=5):
+def _slope_dispatch(step_fn, state0, read, reps=5, provisional=None):
     """Slope protocol via ASYNC DISPATCH CHAINS — for workloads whose
     loop-wrapped jit does not compile in budget.
 
     Wrapping a training-step graph in ``fori_loop``/``while_loop`` blows up
     the XLA compile for the largest graphs here (measured: the f64 VGP
-    natgrad step at T = 1e5 compiles bare in ~150 s but its loop-wrapped
+    natgrad step at T = 1e5 compiles bare in minutes but its loop-wrapped
     form did not finish in 800 s).  Instead: compile the BARE step once
     (``step_fn: state -> state``), dispatch it K times back-to-back — each
     call consumes the previous call's output, so the device must execute
@@ -140,11 +163,25 @@ def _slope_dispatch(step_fn, state0, read, reps=5):
     time is the slope between K=1 and K=8, which also cancels the fixed
     ~28 ms readback RPC.
 
+    ``provisional(ms, tag)``, when given, is called with a first measured
+    upper bound (one step incl. readback) right after compile, so a parent
+    harvesting partial output gets a bounded number even if the full
+    protocol never finishes.
+
     Returns (ms, protocol_tag); never negative (same retry/upper-bound
     contract as :func:`_slope`).
     """
+    t0 = time.perf_counter()
     s = step_fn(state0)  # compile + drain
     read(s)
+    compile_s = time.perf_counter() - t0
+    _note(f"dispatch: compile+first-step {compile_s:.1f}s")
+    # one-step upper bound (includes the fixed readback RPC)
+    t0 = time.perf_counter()
+    read(step_fn(state0))
+    ub_ms = (time.perf_counter() - t0) * 1e3
+    if provisional is not None:
+        provisional(ub_ms, "single-step-upper-bound")
     hi = 8
 
     def t_of(k, r):
@@ -212,6 +249,7 @@ def bench_gpr_and_cvi():
                    for l in jax.tree_util.tree_leaves(grads))
         return (loss + gsum).astype(jnp.float32) * 1e-6
 
+    out = {}
     try:
         gpr_ms, gpr_proto = _slope(grad_step, (gpr,))
         gpr_engine = "pallas-uniform"
@@ -221,7 +259,25 @@ def bench_gpr_and_cvi():
         gpr = make_gpr(uniform=False)
         gpr_ms, gpr_proto = _slope(grad_step, (gpr,))
         gpr_engine = "general-fallback"
+    out.update({
+        "gpr_T1e6_f32_ms": round(gpr_ms, 3),
+        # which engine actually compiled on the chip: "general-fallback"
+        # means the fused Pallas kernels failed Mosaic backend compile (the
+        # cross-platform .lower() tests cannot catch that) — a red flag
+        "gpr_engine": gpr_engine,
+        "gpr_protocol": gpr_proto,
+    })
+    _emit_partial(out)
+
+    # the GENERAL engine's number for the same config (arbitrary grids —
+    # the reference's actual generality), recorded every round
+    gpr_gen = make_gpr(uniform=False)
+    gen_ms, gen_proto = _slope(grad_step, (gpr_gen,), reps=5)
+    out.update({"gpr_general_T1e6_f32_ms": round(gen_ms, 3),
+                "gpr_general_protocol": gen_proto})
+    _emit_partial(out)
     loss = float(jax.jit(lambda m: m.loss())(gpr))
+    out["loss"] = round(loss, 2)
 
     def make_cvi(uniform=None):
         return CVIGaussianProcess(
@@ -252,27 +308,23 @@ def bench_gpr_and_cvi():
         cvi = make_cvi(uniform=False)
         cvi_ms, cvi_proto = _slope(cvi_step, (cvi,))
         cvi_engine = "general-fallback"
-    return {
-        "gpr_T1e6_f32_ms": round(gpr_ms, 3),
+    out.update({
         "cvi_T1e6_f32_ms": round(cvi_ms, 3),
-        # which engine actually compiled on the chip: "general-fallback"
-        # means the fused Pallas kernels failed Mosaic backend compile (the
-        # cross-platform .lower() tests cannot catch that) — a red flag
-        "gpr_engine": gpr_engine,
         "cvi_engine": cvi_engine,
-        "gpr_protocol": gpr_proto,
         "cvi_protocol": cvi_proto,
-        "loss": round(loss, 2),
-    }
+    })
+    return out
 
 
 def bench_parity():
-    """On-chip numeric parity, recorded in the driver JSON (the .lower()
-    lowering tests cannot catch Mosaic backend-pass rejections, and the
-    fast path is f32 while the reference regime is f64): at T = 1e5 compare
-    the GPR loss from (a) the fused Pallas uniform-grid engine and (b) the
-    general engine, each against (c) the same graph in float64 — the value
-    the suite's CPU oracle tests pin to dense NumPy formulas at 1e-10.
+    """On-chip numeric parity, recorded AND asserted in the driver JSON
+    (VERDICT r3 #3: don't just record).  At T = 2e4 compare (a) the fused
+    Pallas uniform-grid engine and (b) the general engine, each against
+    (c) the same GPR graph in float64 — the value the suite's CPU oracle
+    tests pin to dense NumPy formulas at 1e-10.  Both LOSS parity and
+    GRADIENT parity (hyperparameter grads, relative L2 per leaf, max over
+    leaves) are recorded; ``parity_fail`` is true when the default engine's
+    loss parity exceeds the 1e-6 budget from BASELINE.json.
 
     Runs in its own child process with x64 ENABLED from the start so both
     precisions are available; f32 operands keep the fast kernels on their
@@ -288,29 +340,46 @@ def bench_parity():
 
     from markovflow_tpu.kernels import Matern32
     from markovflow_tpu.models import GaussianProcessRegression
+    from markovflow_tpu.utils import filtered_value_and_grad, trainable_mask
 
     t_len = 20_000
     rng = np.random.default_rng(0)
     x = np.linspace(0.0, 100.0, t_len)
     y = (np.sin(2.0 * x) + 0.2 * rng.standard_normal(t_len))[:, None]
 
-    def loss_of(dtype, uniform):
+    def loss_and_grads(dtype, uniform):
         m = GaussianProcessRegression(
             input_data=(x.astype(dtype), jnp.asarray(y, dtype)),
             kernel=Matern32(lengthscale=0.5, variance=1.0),
             chol_obs_covariance=jnp.asarray([[0.2]], dtype),
             uniform_grid=None if uniform else False)
-        return float(jax.jit(lambda mm: mm.loss())(m))
+        mask = trainable_mask(m)
+        loss, grads = jax.jit(lambda mm: filtered_value_and_grad(
+            lambda q: q.loss(), mm, mask))(m)
+        leaves = [np.asarray(g, np.float64)
+                  for g in jax.tree_util.tree_leaves(grads)]
+        return float(loss), leaves
 
-    l64 = loss_of(jnp.float64, uniform=False)
+    l64, g64 = loss_and_grads(jnp.float64, uniform=False)
     out = {"parity_loss_f64": round(l64, 6)}
+    _emit_partial(out)
     for name, uniform in (("pallas_uniform", True), ("general", False)):
         try:
-            l32 = loss_of(jnp.float32, uniform=uniform)
+            l32, g32 = loss_and_grads(jnp.float32, uniform=uniform)
             rel = abs(l32 - l64) / max(abs(l64), 1e-30)
             out[f"parity_rel_{name}"] = float(f"{rel:.3e}")
+            grel = max(
+                float(np.linalg.norm(a - b)
+                      / max(np.linalg.norm(b), 1e-30))
+                for a, b in zip(g32, g64))
+            out[f"parity_grad_rel_{name}"] = float(f"{grel:.3e}")
         except Exception as e:  # noqa: BLE001 — record the failure, move on
             out[f"parity_rel_{name}"] = f"error {type(e).__name__}"
+        _emit_partial(out)
+    # the default engine on a uniform f32 grid is pallas_uniform; fail the
+    # record if its loss parity exceeds the 1e-6 budget (BASELINE.json)
+    rel_def = out.get("parity_rel_pallas_uniform")
+    out["parity_fail"] = not (isinstance(rel_def, float) and rel_def < 1e-6)
     return out
 
 
@@ -351,7 +420,8 @@ def bench_d9():
 
 
 def child_main(config: str):
-    """Run one config and print its result dict as one JSON line."""
+    """Run one config; print BENCH_RESULT lines as results firm up (the
+    parent takes the last one)."""
     import jax
 
     from markovflow_tpu.config import setup_compilation_cache
@@ -368,28 +438,42 @@ def child_main(config: str):
                "sde_protocol": proto}
     elif config == "vgp":
         jax.config.update("jax_enable_x64", True)
-        ms, proto = cfgs.bench_vgp_natgrad(100_000)
-        out = {"vgp_bernoulli_natgrad_T1e5_f64_ms": round(ms, 3),
-               "vgp_protocol": proto}
+        out = {}
+
+        def prov(ms, tag):
+            out.update({"vgp_bernoulli_natgrad_T1e5_f64_ms": round(ms, 3),
+                        "vgp_protocol": tag})
+            _emit_partial(out)
+
+        ms, proto = cfgs.bench_vgp_natgrad(100_000, provisional=prov)
+        out.update({"vgp_bernoulli_natgrad_T1e5_f64_ms": round(ms, 3),
+                    "vgp_protocol": proto})
     elif config == "svgp":
         jax.config.update("jax_enable_x64", True)
-        ms, proto = cfgs.bench_svgp_natgrad(100_000, 2048)
-        out = {"svgp_natgrad_N1e5_M2048_f64_ms": round(ms, 3),
-               "svgp_protocol": proto}
+        out = {}
+
+        def prov(ms, tag):
+            out.update({"svgp_natgrad_N1e5_M2048_f64_ms": round(ms, 3),
+                        "svgp_protocol": tag})
+            _emit_partial(out)
+
+        ms, proto = cfgs.bench_svgp_natgrad(100_000, 2048, provisional=prov)
+        out.update({"svgp_natgrad_N1e5_M2048_f64_ms": round(ms, 3),
+                    "svgp_protocol": proto})
     elif config == "parity":
         out = bench_parity()
     elif config == "d9":
         out = bench_d9()
     else:
         raise SystemExit(f"unknown config {config!r}")
-    print("BENCH_RESULT " + json.dumps(out), flush=True)
+    _emit_partial(out)
 
 
 # --------------------------------------------------------------------------
 # parent
 # --------------------------------------------------------------------------
 
-def _wait_for_backend(max_wait_s: float = 600.0):
+def _wait_for_backend(max_wait_s: float = 300.0):
     """The axon TPU tunnel flaps; probe backend init in a subprocess (jax
     caches an in-process init failure permanently) and retry for a while,
     so a transient outage doesn't zero the bench."""
@@ -398,7 +482,7 @@ def _wait_for_backend(max_wait_s: float = 600.0):
         try:
             probe = subprocess.run(
                 [sys.executable, "-c", "import jax; jax.devices()"],
-                capture_output=True, text=True, timeout=300)
+                capture_output=True, text=True, timeout=120)
             ok = probe.returncode == 0
         except subprocess.TimeoutExpired:
             ok = False
@@ -407,29 +491,48 @@ def _wait_for_backend(max_wait_s: float = 600.0):
         if time.time() - t0 > max_wait_s:
             _note("backend probe still failing; proceeding anyway")
             return
-        _note("backend probe failed; retrying in 60 s")
-        time.sleep(60.0)
+        _note("backend probe failed; retrying in 30 s")
+        time.sleep(30.0)
+
+
+def _harvest(stdout) -> dict:
+    """Last BENCH_RESULT line from (possibly partial) child stdout."""
+    if isinstance(stdout, bytes):
+        stdout = stdout.decode(errors="replace")
+    for line in reversed((stdout or "").splitlines()):
+        if line.startswith("BENCH_RESULT "):
+            try:
+                return json.loads(line[len("BENCH_RESULT "):])
+            except json.JSONDecodeError:
+                continue
+    return {}
 
 
 def _run_config(config: str, timebox: int):
-    """Run one config in a subprocess; returns its dict or an error dict."""
+    """Run one config in a subprocess; returns its dict (possibly a
+    provisional upper bound harvested from a timed-out child)."""
     t0 = time.time()
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--config", config],
             capture_output=True, text=True, timeout=timebox, cwd=HERE)
     except subprocess.TimeoutExpired as e:
-        _note(f"bench: {config} TIMED OUT after {timebox}s")
-        tail = (e.stderr or b"")
+        _note(f"bench: {config} hit its {timebox}s timebox")
+        tail = e.stderr or b""
         if isinstance(tail, bytes):
             tail = tail.decode(errors="replace")
         _note(tail[-500:])
+        got = _harvest(e.stdout)
+        if got:
+            _note(f"bench: {config} harvested a provisional result")
+            got[f"{config}_status"] = f"upper-bound (timebox {timebox}s)"
+            return got
         return {f"{config}_status": f"timeout after {timebox}s"}
     dt = time.time() - t0
-    for line in reversed(proc.stdout.splitlines()):
-        if line.startswith("BENCH_RESULT "):
-            _note(f"bench: {config} done in {dt:.0f}s")
-            return json.loads(line[len("BENCH_RESULT "):])
+    got = _harvest(proc.stdout)
+    if got:
+        _note(f"bench: {config} done in {dt:.0f}s")
+        return got
     _note(f"bench: {config} FAILED rc={proc.returncode}; stderr tail:")
     _note(proc.stderr[-800:])
     return {f"{config}_status": f"error rc={proc.returncode}"}
@@ -452,18 +555,36 @@ def _emit(configs):
 
 
 def main():
+    start = time.time()
+    deadline = start + BUDGET_S
     _wait_for_backend()
     configs = {}
-    # Headline first — and retried once, because without it the round has
-    # no perf record at all.
-    res = _run_config("gpr_cvi", TIMEBOXES["gpr_cvi"])
-    if "gpr_T1e6_f32_ms" not in res:
-        _note("bench: headline config failed; one retry")
-        res = _run_config("gpr_cvi", TIMEBOXES["gpr_cvi"])
-    configs.update(res)
-    _emit(configs)
-    for name in ("sde", "vgp", "svgp", "parity", "d9"):
-        configs.update(_run_config(name, TIMEBOXES[name]))
+
+    def remaining():
+        return deadline - time.time()
+
+    def reserve_after(i):
+        return sum(BOXES[c][1] for c in ORDER[i + 1:])
+
+    for i, name in enumerate(ORDER):
+        nominal, minimum = BOXES[name]
+        box = int(min(nominal, remaining() - reserve_after(i)))
+        if box < minimum:
+            if remaining() > minimum:
+                box = minimum  # eat into the reserve rather than skip
+            else:
+                _note(f"bench: skipping {name} (global budget exhausted: "
+                      f"{remaining():.0f}s left)")
+                configs[f"{name}_status"] = "skipped (global budget)"
+                _emit(configs)
+                continue
+        res = _run_config(name, box)
+        if name == "gpr_cvi" and "gpr_T1e6_f32_ms" not in res \
+                and remaining() - reserve_after(i) > minimum:
+            _note("bench: headline config failed; one retry")
+            res = _run_config(name, int(
+                min(nominal, remaining() - reserve_after(i))))
+        configs.update(res)
         _emit(configs)
 
 

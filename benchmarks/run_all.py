@@ -180,9 +180,10 @@ def bench_sde_vi(quick: bool):
     return _slope(vi_step, (obs, q_mu, q_cov))
 
 
-def bench_vgp_natgrad(n: int):
+def bench_vgp_natgrad(n: int, provisional=None):
     """BASELINE config 2: VGP + Bernoulli classification, one natural-
-    gradient step on the full-rank SSM posterior (float64)."""
+    gradient step on the full-rank SSM posterior (float64).
+    ``provisional(ms, tag)`` receives an early single-step upper bound."""
     import jax
     import jax.numpy as jnp
 
@@ -213,12 +214,14 @@ def bench_vgp_natgrad(n: int):
     from bench import _slope_dispatch
 
     return _slope_dispatch(ng_step, ssm0,
-                           lambda s: float(jnp.sum(s.initial_mean)))
+                           lambda s: float(jnp.sum(s.initial_mean)),
+                           provisional=provisional)
 
 
-def bench_svgp_natgrad(n: int, m: int):
+def bench_svgp_natgrad(n: int, m: int, provisional=None):
     """BASELINE config 3: sparse VGP with inducing states, one natural-
-    gradient step on q(s(Z)) (float64)."""
+    gradient step on q(s(Z)) (float64).
+    ``provisional(ms, tag)`` receives an early single-step upper bound."""
     import jax
     import jax.numpy as jnp
 
@@ -249,7 +252,8 @@ def bench_svgp_natgrad(n: int, m: int):
     from bench import _slope_dispatch
 
     return _slope_dispatch(ng_step, ssm0,
-                           lambda s: float(jnp.sum(s.initial_mean)))
+                           lambda s: float(jnp.sum(s.initial_mean)),
+                           provisional=provisional)
 
 
 if __name__ == "__main__":

@@ -36,13 +36,15 @@ def main(t_len: int = 100_000) -> None:
     y = (np.sin(2.0 * x) + 0.2 * rng.standard_normal(t_len))[:, None]
     yj = jnp.asarray(y, jnp.float32)
 
-    def make(uniform: bool, grad_engine: str = "koopman"):
+    def make(uniform: bool, grad_engine: str | None = None):
+        # None = defer to the model's default engine, so this script keeps
+        # exercising the real default if the library default ever changes.
+        kw = {} if grad_engine is None else {"grad_engine": grad_engine}
         return GaussianProcessRegression(
             input_data=(x.astype(np.float32), yj),
             kernel=Matern32(lengthscale=0.5, variance=1.0),
             chol_obs_covariance=jnp.asarray([[0.2]], jnp.float32),
-            uniform_grid=None if uniform else False,
-            grad_engine=grad_engine)
+            uniform_grid=None if uniform else False, **kw)
 
     mask = trainable_mask(make(True))
 

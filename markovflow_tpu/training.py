@@ -54,14 +54,20 @@ def fit(model, loss_fn: Optional[Callable] = None, num_steps: int = 100,
 
 
 def fit_natgrad(model, num_steps: int = 50, gamma: float = 0.5,
-                hyper_optimizer=None, hyper_loss: Optional[Callable] = None):
+                hyper_optimizer=None, hyper_loss: Optional[Callable] = None,
+                naturals_engine: str = "parallel"):
     """Two-phase loop for variational models exposing ``dist_q`` /
-    ``with_dist_q``: natgrad on the variational SSM, Adam on the rest."""
+    ``with_dist_q``: natgrad on the variational SSM, Adam on the rest.
+
+    ``naturals_engine="parallel"`` (default) inverts theta -> SSM with the
+    O(log N)-depth synthetic-model reduction — the right engine on TPU for
+    dense grids; pass "sequential" for the reference's UDU recursion
+    (reference: ssm_natgrad.py:95-218 wraps the banded sequential path)."""
     if hyper_optimizer is None:
         hyper_optimizer = optax.adam(1e-2)
     if hyper_loss is None:
         hyper_loss = lambda m: m.loss()
-    natgrad = SSMNaturalGradient(gamma=gamma)
+    natgrad = SSMNaturalGradient(gamma=gamma, naturals_engine=naturals_engine)
     mask = trainable_mask(model)
     opt_state = hyper_optimizer.init(model)
 
