@@ -45,10 +45,13 @@ def main():
         t0 = time.perf_counter()
         traced = jax.jit(ng_step).trace(ssm0)
         t1 = time.perf_counter()
+        print(f"T={n}: trace={t1-t0:.1f}s", flush=True)
         lowered = traced.lower()
         t2 = time.perf_counter()
+        print(f"T={n}: lower={t2-t1:.1f}s", flush=True)
         compiled = lowered.compile()
         t3 = time.perf_counter()
+        print(f"T={n}: compile={t3-t2:.1f}s", flush=True)
         s = compiled(ssm0)
         float(jnp.sum(s.initial_mean))
         t4 = time.perf_counter()

