@@ -52,9 +52,17 @@ class VariationalGaussianProcess(MarkovFlowModel):
         return self.replace(_dist_q=ssm.trainable_copy())
 
     def elbo(self) -> jnp.ndarray:
-        """sum VE - KL[q || p] (reference: variational.py:129-152)."""
+        """sum VE - KL[q || p] (reference: variational.py:129-152).
+
+        The q-marginals scan is computed ONCE and shared between the VE
+        projection and the KL — each distinct scan instance is a separate
+        XLA while-loop body, and the f64 natgrad compile budget is spent
+        almost entirely on those bodies."""
+        from ..ops.kalman import _from_tl
+
         dist_q = self.dist_q
-        means, covs = dist_q.marginals
+        mq, pq = dist_q.marginals_tl()
+        means, covs = _from_tl(mq)[..., 0], _from_tl(pq)
         emission = self.kernel.generate_emission_model(self.time_points)
         f_means, f_covs = emission.project_state_marginals_to_f(means, covs)
         if self.mean_function is not None:
@@ -62,7 +70,7 @@ class VariationalGaussianProcess(MarkovFlowModel):
         ve = jnp.sum(
             self.likelihood.variational_expectations(
                 f_means, f_covs, self.observations), axis=-1)
-        kl = dist_q.kl_divergence(self.dist_p)
+        kl = dist_q.kl_divergence(self.dist_p, marginals_tl=(mq, pq))
         return ve - kl
 
     def loss(self) -> jnp.ndarray:

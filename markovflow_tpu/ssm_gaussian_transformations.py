@@ -80,14 +80,14 @@ def _ssm_fields_tl(ssm: StateSpaceModel):
 def ssm_to_expectations_tl(ssm: StateSpaceModel):
     """TL-layout core of :func:`ssm_to_expectations`: returns
     (eta_linear [..., d, 1, N+1], eta_diag [..., d, d, N+1],
-    eta_subdiag [..., d, d, N])."""
-    a_tl, b_tl, l0_tl, lq_tl, mu0_tl = _ssm_fields_tl(ssm)
-    zero_a = jnp.zeros_like(a_tl[..., :1])
-    f_tl = jnp.concatenate([zero_a, a_tl], axis=-1)
-    c_tl = jnp.concatenate([mu0_tl, b_tl], axis=-1)
-    chols = jnp.concatenate([l0_tl, lq_tl], axis=-1)
-    q_tl = _mm_tl(chols, _t_tl(chols))
-    means, covs = affine_cov_scan_tl(f_tl, c_tl, q_tl)
+    eta_subdiag [..., d, d, N]).
+
+    Marginals come from ``ssm.marginals_tl()`` — the same expression every
+    other training-graph consumer uses, so XLA CSE can collapse the scans
+    when a natgrad step computes both the loss and the expectations of the
+    same SSM."""
+    a_tl = _to_tl(ssm.state_transitions)
+    means, covs = ssm.marginals_tl()
     eta_linear = means
     eta_diag = covs + _mm_tl(means, _t_tl(means))
     eta_subdiag = _mm_tl(a_tl, covs[..., :-1]) + _mm_tl(

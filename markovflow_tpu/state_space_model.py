@@ -137,6 +137,29 @@ class StateSpaceModel(GaussMarkovDistribution):
         F, c, Q = self._prefix_elements()
         return affine_cov_scan(F, c, Q)
 
+    def marginals_tl(self):
+        """(means [..., d, 1, N+1], covs [..., d, d, N+1]) in time-last
+        layout — the layout every training-graph consumer (KL,
+        expectations, VGP ELBO) actually works in.  Exposed so those
+        consumers can share ONE scan per step: each distinct scan instance
+        costs XLA a separate while-loop body to compile, and the f64
+        VGP/natgrad graphs were paying for the same q-marginals three
+        times (ELBO projection, KL, ssm_to_expectations)."""
+        from .ops.kalman import _mm_tl, _t_tl, _to_tl
+        from .ops.scans import affine_cov_scan_tl
+
+        a_tl = _to_tl(self.state_transitions)
+        zero_a = jnp.zeros_like(a_tl[..., :1])
+        f_tl = jnp.concatenate([zero_a, a_tl], axis=-1)
+        c_tl = jnp.concatenate(
+            [self.initial_mean[..., None, None],
+             _to_tl(self.state_offsets[..., None])], axis=-1)
+        chols = jnp.concatenate(
+            [self.cholesky_initial_covariance[..., None],
+             _to_tl(self.cholesky_process_covariances)], axis=-1)
+        q_tl = _mm_tl(chols, _t_tl(chols))
+        return affine_cov_scan_tl(f_tl, c_tl, q_tl)
+
     def subsequent_covariances(self, marginal_covariances=None) -> jnp.ndarray:
         """Cov(x_{k+1}, x_k) = A_k P_k, [..., T, d, d] (reference: :326-341)."""
         if marginal_covariances is None:
@@ -203,7 +226,8 @@ class StateSpaceModel(GaussMarkovDistribution):
                          self.cholesky_process_covariances)
         return lp0 + jnp.sum(lpt, axis=-1)
 
-    def kl_divergence(self, other: "StateSpaceModel") -> jnp.ndarray:
+    def kl_divergence(self, other: "StateSpaceModel",
+                      marginals_tl=None) -> jnp.ndarray:
         """KL[self || other], closed form from marginal/pairwise statistics
         (reference: :528-593).
 
@@ -213,9 +237,12 @@ class StateSpaceModel(GaussMarkovDistribution):
         (measured 223x slower; see ops/kalman.py).  This sits inside every
         VGP/natgrad training graph, so its layout decides that family's
         compile and step time.
+
+        ``marginals_tl``: optional precomputed ``self.marginals_tl()`` —
+        pass it when the caller already has the marginals (VGP ELBO does)
+        so the graph carries one scan instead of two.
         """
         from .ops.kalman import _inv_tl, _mm_tl, _sym_tl, _t_tl, _to_tl
-        from .ops.scans import affine_cov_scan_tl
 
         check_compatible(self, other)
         q, p = self, other
@@ -225,16 +252,8 @@ class StateSpaceModel(GaussMarkovDistribution):
 
         # TL marginals of q
         aq_tl = _to_tl(q.state_transitions)
-        zero_a = jnp.zeros_like(aq_tl[..., :1])
-        f_tl = jnp.concatenate([zero_a, aq_tl], axis=-1)
-        c_tl = jnp.concatenate(
-            [q.initial_mean[..., None, None],
-             _to_tl(q.state_offsets[..., None])], axis=-1)
-        lq_tl = jnp.concatenate(
-            [q.cholesky_initial_covariance[..., None],
-             _to_tl(q.cholesky_process_covariances)], axis=-1)
-        qq_tl = _mm_tl(lq_tl, _t_tl(lq_tl))
-        mq, pq = affine_cov_scan_tl(f_tl, c_tl, qq_tl)  # [d,1,N+1], [d,d,N+1]
+        mq, pq = (marginals_tl if marginals_tl is not None
+                  else q.marginals_tl())  # [d,1,N+1], [d,d,N+1]
         cq = _mm_tl(aq_tl, pq[..., :-1])  # Cov(x_{k+1}, x_k) [d,d,N]
 
         # E_q[log q] = 0.5 log|Kq^{-1}| - 0.5 (T+1) d log(2 pi e)
