@@ -65,11 +65,11 @@ BUDGET_S = int(os.environ.get("MFTPU_BENCH_BUDGET_S", "1380"))
 # nominal and skips a config only when even its minimum no longer fits.
 BOXES = {
     "gpr_cvi": (420, 300),
-    "parity": (240, 120),
+    "parity": (300, 120),
     "sde": (120, 60),
-    "d9": (240, 90),
-    "vgp": (420, 240),
-    "svgp": (420, 240),
+    "d9": (300, 90),
+    "vgp": (600, 240),
+    "svgp": (600, 240),
 }
 ORDER = ["gpr_cvi", "parity", "sde", "d9", "vgp", "svgp"]
 
@@ -88,12 +88,15 @@ def _emit_partial(out):
 # slope protocol (child side)
 # --------------------------------------------------------------------------
 
-def _slope(step, args, reps=7):
+def _slope(step, args, reps=7, provisional=None):
     """Per-step time in ms: slope between K=1 and K=8 chained executions.
 
     Guarantees a positive result: retries with doubled reps while the
     measured slope is non-positive (inter-run noise), and finally falls
     back to median(t_K)/K — a strict upper bound on the per-step time.
+    ``provisional(ms, tag)``, when given, receives a first single-step
+    upper bound as soon as the K=1 chain has compiled, so a parent
+    harvesting a timed-out child still gets a bounded number.
     Returns (ms, protocol_tag).
     """
     import jax
@@ -112,8 +115,14 @@ def _slope(step, args, reps=7):
     for hi in (8, 4, 2):
         try:
             fns = {k: chain(k) for k in (1, hi)}
-            for fn in fns.values():
-                float(fn(*args))  # compile + drain
+            float(fns[1](*args))  # compile + drain the cheap chain first
+            if provisional is not None:
+                t0 = time.perf_counter()
+                float(fns[1](*args))
+                provisional((time.perf_counter() - t0) * 1e3,
+                            "single-step-upper-bound")
+                provisional = None
+            float(fns[hi](*args))
             break
         except Exception as e:  # noqa: BLE001 — any backend failure
             _note(f"slope: K={hi} chain failed ({type(e).__name__}); "
@@ -360,21 +369,28 @@ def bench_parity():
                   for g in jax.tree_util.tree_leaves(grads)]
         return float(loss), leaves
 
-    l64, g64 = loss_and_grads(jnp.float64, uniform=False)
-    out = {"parity_loss_f64": round(l64, 6)}
-    _emit_partial(out)
+    # Cheap f32 engine runs FIRST (their compiles are seconds) so a parent
+    # harvesting a timed-out child still sees which engines ran; the f64
+    # oracle — the slow compile — goes last.
+    engines = {}
+    out = {}
     for name, uniform in (("pallas_uniform", True), ("general", False)):
         try:
-            l32, g32 = loss_and_grads(jnp.float32, uniform=uniform)
-            rel = abs(l32 - l64) / max(abs(l64), 1e-30)
-            out[f"parity_rel_{name}"] = float(f"{rel:.3e}")
-            grel = max(
-                float(np.linalg.norm(a - b)
-                      / max(np.linalg.norm(b), 1e-30))
-                for a, b in zip(g32, g64))
-            out[f"parity_grad_rel_{name}"] = float(f"{grel:.3e}")
+            engines[name] = loss_and_grads(jnp.float32, uniform=uniform)
+            out[f"parity_loss_{name}_f32"] = round(engines[name][0], 6)
         except Exception as e:  # noqa: BLE001 — record the failure, move on
             out[f"parity_rel_{name}"] = f"error {type(e).__name__}"
+        _emit_partial(out)
+    l64, g64 = loss_and_grads(jnp.float64, uniform=False)
+    out["parity_loss_f64"] = round(l64, 6)
+    for name, (l32, g32) in engines.items():
+        rel = abs(l32 - l64) / max(abs(l64), 1e-30)
+        out[f"parity_rel_{name}"] = float(f"{rel:.3e}")
+        grel = max(
+            float(np.linalg.norm(a - b)
+                  / max(np.linalg.norm(b), 1e-30))
+            for a, b in zip(g32, g64))
+        out[f"parity_grad_rel_{name}"] = float(f"{grel:.3e}")
         _emit_partial(out)
     # the default engine on a uniform f32 grid is pallas_uniform; fail the
     # record if its loss parity exceeds the 1e-6 budget (BASELINE.json)
@@ -414,9 +430,17 @@ def bench_d9():
                    for g in jax.tree_util.tree_leaves(grads))
         return (loss + gsum).astype(jnp.float32) * 1e-6
 
-    ms, proto = _slope(grad_step, (m,))
-    return {"gpr_sum3xM52_d9_T1e5_f32_ms": round(ms, 3),
-            "d9_protocol": proto}
+    out = {}
+
+    def prov(ms, tag):
+        out.update({"gpr_sum3xM52_d9_T1e5_f32_ms": round(ms, 3),
+                    "d9_protocol": tag})
+        _emit_partial(out)
+
+    ms, proto = _slope(grad_step, (m,), provisional=prov)
+    out.update({"gpr_sum3xM52_d9_T1e5_f32_ms": round(ms, 3),
+                "d9_protocol": proto})
+    return out
 
 
 def child_main(config: str):
@@ -476,12 +500,20 @@ def child_main(config: str):
 def _wait_for_backend(max_wait_s: float = 300.0):
     """The axon TPU tunnel flaps; probe backend init in a subprocess (jax
     caches an in-process init failure permanently) and retry for a while,
-    so a transient outage doesn't zero the bench."""
+    so a transient outage doesn't zero the bench.
+
+    The probe runs a real jit + readback, not just ``jax.devices()``: a
+    congested or wedged compute server still answers the device handshake
+    while every work RPC hangs (observed: clients killed mid-compile leave
+    zombie compiles that serialize the server for tens of minutes)."""
     t0 = time.time()
+    code = ("import jax, jax.numpy as jnp; "
+            "print(float(jax.jit(lambda x: jnp.sum(x * 3.0))"
+            "(jnp.ones((128, 128)))))")
     while True:
         try:
             probe = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
+                [sys.executable, "-c", code],
                 capture_output=True, text=True, timeout=120)
             ok = probe.returncode == 0
         except subprocess.TimeoutExpired:

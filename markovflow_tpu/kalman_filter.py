@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from .emission_model import EmissionModel
 from .ops import kalman as K
 from .state_space_model import StateSpaceModel
-from .utils.linalg import cholesky_or_zero, symmetrize, tlt
+from .utils.linalg import cholesky_or_zero, psd_cholesky, symmetrize, tlt
 from .utils.module import Module, Parameter
 
 __all__ = [
@@ -244,8 +244,12 @@ class BaseKalmanFilter(Module, abc.ABC):
         from_tl = lambda x: jnp.moveaxis(x, -1, -3)
         mu0, p0, a_post, b_post, q_post, _ = K.posterior_ssm_params(
             jnp.moveaxis(m_s[..., 0, :], -1, -2), from_tl(p_s), from_tl(gains))
+        # psd_cholesky, not cholesky_or_zero: Q_post cancels catastrophically
+        # for near-coincident time points (random dense grids reach
+        # dt ~ 1e-7 where the true Q_post ~ dt^3 is below the roundoff of
+        # its O(1) operands and the computed value can be ~ -1e-16).
         return StateSpaceModel(
-            mu0, cholesky_or_zero(p0), a_post, b_post, cholesky_or_zero(q_post)
+            mu0, psd_cholesky(p0), a_post, b_post, psd_cholesky(q_post)
         )
 
 

@@ -76,6 +76,22 @@ def _t(a):
 CHUNK_THRESHOLD = 8192
 CHUNK = 4096
 
+#: float64 variants.  TPU f64 is software-emulated, so every combine op in
+#: the unrolled inner scan lowers to many low-level ops and the compile
+#: explosion sets in at far fewer levels than for f32 — f64 training graphs
+#: (VGP natgrad, f64 parity oracles) stopped compiling inside any practical
+#: budget at CHUNK=4096 (12 levels).  A shallower inner scan trades outer
+#: sequential steps (cheap: the f64 runtime is emulation-bound anyway) for
+#: a multiplicatively smaller compile.
+CHUNK_THRESHOLD_F64 = 1024
+CHUNK_F64 = 512
+
+
+def _chunk_params(dtype):
+    if dtype == jnp.float64:
+        return CHUNK_THRESHOLD_F64, CHUNK_F64
+    return CHUNK_THRESHOLD, CHUNK
+
 
 def _chunked_scan_tl(combine, identity_like, elems, reverse: bool = False):
     """Two-level prefix scan over the last axis of time-last-layout leaves.
@@ -86,8 +102,9 @@ def _chunked_scan_tl(combine, identity_like, elems, reverse: bool = False):
     axis of 1.
     """
     n = elems[0].shape[-1]
-    num_chunks = -(-n // CHUNK)
-    pad = num_chunks * CHUNK - n
+    _, chunk = _chunk_params(elems[0].dtype)
+    num_chunks = -(-n // chunk)
+    pad = num_chunks * chunk - n
     ident = identity_like(elems)
 
     def pad_leaf(x, i):
@@ -100,7 +117,7 @@ def _chunked_scan_tl(combine, identity_like, elems, reverse: bool = False):
     padded = tuple(pad_leaf(x, i) for x, i in zip(elems, ident))
 
     def split(x):
-        x = x.reshape(x.shape[:-1] + (num_chunks, CHUNK))
+        x = x.reshape(x.shape[:-1] + (num_chunks, chunk))
         return jnp.moveaxis(x, -2, 0)
 
     chunks = tuple(split(x) for x in padded)
@@ -134,7 +151,7 @@ def _chunked_scan_tl(combine, identity_like, elems, reverse: bool = False):
 
     def merge(x):
         x = jnp.moveaxis(x, 0, -2)
-        x = x.reshape(x.shape[:-2] + (num_chunks * CHUNK,))
+        x = x.reshape(x.shape[:-2] + (num_chunks * chunk,))
         if pad == 0:
             return x
         return x[..., :n] if not reverse else x[..., pad:]
@@ -154,8 +171,9 @@ def scan_tl(combine, identity_like, elems, reverse: bool = False):
     reads anyway.
     """
     n = elems[0].shape[-1]
+    threshold, _ = _chunk_params(elems[0].dtype)
     elems = jax.lax.optimization_barrier(tuple(elems))
-    if n > CHUNK_THRESHOLD:
+    if n > threshold:
         return _chunked_scan_tl(combine, identity_like, elems, reverse)
     return jax.lax.associative_scan(combine, elems, axis=elems[0].ndim - 1,
                                     reverse=reverse)

@@ -123,6 +123,42 @@ def small_cholesky(mat):
     return jnp.linalg.cholesky(mat)
 
 
+def psd_cholesky(mat):
+    """Pivot-clamped Cholesky of [..., d, d]: negative pivots clamp to zero
+    instead of producing NaN.
+
+    Exact for PSD inputs; for an indefinite input whose negative part is
+    roundoff (the only way one arises here), returns the factor of the
+    nearest-in-pivot PSD matrix.  Needed by the posterior-SSM extraction:
+    ``Q_post = P_{k+1} - A Cov(x_k, x_{k+1})`` cancels catastrophically for
+    near-coincident time points (dt ~ 1e-7 on random dense grids makes the
+    true Q_post ~ dt^3 ~ 1e-20, below f64 roundoff of the O(1) operands),
+    so the computed difference can be ~ -1e-16 — a deterministic transition
+    to machine precision, which is exactly what the clamped factor encodes.
+    Subsumes the exactly-zero case of :func:`cholesky_or_zero`.
+    """
+    d = mat.shape[-1]
+    lower = [[None] * d for _ in range(d)]
+    for j in range(d):
+        s = mat[..., j, j]
+        for k in range(j):
+            s = s - lower[j][k] * lower[j][k]
+        piv = jnp.sqrt(jnp.maximum(s, 0.0))
+        lower[j][j] = piv
+        safe = jnp.where(piv > 0.0, piv, 1.0)
+        for i in range(j + 1, d):
+            s2 = mat[..., i, j]
+            for k in range(j):
+                s2 = s2 - lower[i][k] * lower[j][k]
+            lower[i][j] = jnp.where(piv > 0.0, s2 / safe, 0.0)
+    zero = jnp.zeros_like(mat[..., 0, 0])
+    rows = [
+        jnp.stack([lower[i][j] if j <= i else zero for j in range(d)], -1)
+        for i in range(d)
+    ]
+    return jnp.stack(rows, -2)
+
+
 def tlt(x):
     """Transpose the last two axes."""
     return jnp.swapaxes(x, -1, -2)

@@ -129,12 +129,15 @@ def test_adjoint_under_chunking_threshold_boundary(rng):
         wm = jnp.asarray(rng.standard_normal((d, 1, n)))
 
         def loss_chunked(f, c, q):
-            old = S.CHUNK_THRESHOLD, S.CHUNK
+            old = (S.CHUNK_THRESHOLD, S.CHUNK,
+                   S.CHUNK_THRESHOLD_F64, S.CHUNK_F64)
             try:
-                S.CHUNK_THRESHOLD, S.CHUNK = 16, 16
+                S.CHUNK_THRESHOLD = S.CHUNK = 16
+                S.CHUNK_THRESHOLD_F64 = S.CHUNK_F64 = 16
                 ms, _ = S.affine_cov_scan_tl(f, c, q)
             finally:
-                S.CHUNK_THRESHOLD, S.CHUNK = old
+                (S.CHUNK_THRESHOLD, S.CHUNK,
+                 S.CHUNK_THRESHOLD_F64, S.CHUNK_F64) = old
             return jnp.sum(ms * wm)
 
         def loss_flat(f, c, q):
