@@ -610,6 +610,11 @@ def main():
                 configs[f"{name}_status"] = "skipped (global budget)"
                 _emit(configs)
                 continue
+        # The tunnel flaps on ~minute timescales; don't burn a config's box
+        # while the data plane is down (a wedged server still answers the
+        # device handshake — the probe runs real compute).
+        _wait_for_backend(max_wait_s=min(180.0, max(0.0, remaining()
+                                                    - reserve_after(i))))
         res = _run_config(name, box)
         if name == "gpr_cvi" and "gpr_T1e6_f32_ms" not in res \
                 and remaining() - reserve_after(i) > minimum:
