@@ -114,7 +114,7 @@ def main():
     _emit(f"posterior_marginals_T{t_len}_pallas", ms, protocol=proto)
 
     # 6. BASELINE config 5: DoubleWell SDE VI iteration (f32)
-    ms, proto = bench_sde_vi(quick)
+    ms, proto = bench_sde_vi(quick=quick)
     _emit(f"sde_doublewell_vi_iteration_n{2048 if quick else 16384}", ms,
           protocol=proto)
 
@@ -132,12 +132,14 @@ def main():
     _emit(f"svgp_natgrad_step_N{n3}_M{m3}_f64", ms, protocol=proto)
 
 
-def bench_sde_vi(quick: bool):
+def bench_sde_vi(quick: bool, provisional=None):
     """BASELINE config 5: one VI iteration for a DoubleWell SDE-GP —
     linearize the SDE around the current Gaussian path, Kalman-smooth the
     observations against the linearized prior, and evaluate the
     drift-difference KL surrogate (pattern: tests/unit/test_sde.py::
-    test_double_well_vi_workflow)."""
+    test_double_well_vi_workflow).  ``provisional(ms, tag)``, when given,
+    receives an early single-step upper bound (harvested by a parent whose
+    timebox expires before the full slope protocol finishes)."""
     import jax
     import jax.numpy as jnp
 
@@ -177,7 +179,8 @@ def bench_sde_vi(quick: bool):
         out = kl + jnp.sum(means) * 1e-6 + jnp.sum(covs) * 1e-6
         return out.astype(jnp.float32) * 1e-6
 
-    return _slope(vi_step, (obs, q_mu, q_cov))
+    from bench import _slope as slope
+    return slope(vi_step, (obs, q_mu, q_cov), provisional=provisional)
 
 
 def bench_vgp_natgrad(n: int, provisional=None):
