@@ -695,11 +695,13 @@ def _run_config(config: str, timebox: int):
 
 
 def _emit(configs, backend_down=False):
-    """Print the full headline JSON line from what we have so far.  When
-    the backend is (or was) down, last-good values are merged in with
-    ``*_stale`` provenance tags and the line carries ``backend_down`` plus
-    ``stale: true`` whenever the headline number itself is borrowed."""
-    shown = _merge_stale(configs) if backend_down else dict(configs)
+    """Print the full headline JSON line from what we have so far.  Every
+    line merges last-good values for metrics this run has not (yet)
+    measured, tagged ``*_stale`` with their provenance — the driver takes
+    the LAST line, and a run cut off mid-way must still carry a value for
+    every config.  ``backend_down`` additionally flags the outage and sets
+    ``stale: true`` when the headline number itself is borrowed."""
+    shown = _merge_stale(configs)
     gpr_ms = shown.get("gpr_T1e6_f32_ms")
     line = {
         "metric": "gpr_train_step_T1e6_matern32_ms",
@@ -713,7 +715,8 @@ def _emit(configs, backend_down=False):
     }
     if backend_down:
         line["backend_down"] = True
-        line["stale"] = "gpr_T1e6_f32_stale" in shown
+    if "gpr_T1e6_f32_stale" in shown:
+        line["stale"] = True
     print(json.dumps(line), flush=True)
 
 

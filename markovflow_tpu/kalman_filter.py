@@ -164,9 +164,13 @@ class BaseKalmanFilter(Module, abc.ABC):
           ``axis`` dimension and both scans communicate O(P d^2) per level
           via XLA collectives, independent of T.  Requires ``mesh``.
 
-        Note: the analytic engines define a custom VJP, so forward-mode
-        differentiation (``jax.jvp``/``jax.hessian``) through the loss
-        requires ``"autodiff"``.
+        Note on forward-mode AD: the analytic engines define custom VJPs,
+        and since round 4 the affine prefix scans behind marginals and
+        mean-function coefficients do too — so ``jax.jvp``/``jax.hessian``
+        through a loss raises even under ``"autodiff"``.  Wrap the trace in
+        :func:`markovflow_tpu.ops.scans.forward_mode_ad` (and use
+        ``"autodiff"``) to enable forward mode at the cost of the much
+        larger autodiff transpose program.
         """
         F, c, Q, h, nu, lam, mask = self._tl_inputs()
         if grad_engine == "collective":

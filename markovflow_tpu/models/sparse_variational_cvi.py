@@ -63,13 +63,22 @@ class SparseCVIGaussianProcess(MarkovFlowSparseModel):
                  likelihood: Likelihood,
                  mean_function: Optional[MeanFunction] = None,
                  learning_rate: float = 0.1,
-                 nat1=None, nat2=None):
+                 nat1=None, nat2=None, mesh=None, shard_axis: str = "sp"):
         """Sites: nat1 [..., M+1, 2d], nat2 [..., M+1, 2d, 2d]
-        (reference: sparse_variational_cvi.py:98-140)."""
+        (reference: sparse_variational_cvi.py:98-140).
+
+        ``mesh``: optional ``jax.sharding.Mesh``.  When given,
+        ``update_sites`` / ``classic_elbo`` run the explicit-collective
+        data-parallel path (:mod:`markovflow_tpu.parallel.
+        collective_sites`): data shards over ``mesh``'s ``shard_axis``,
+        sites merge with one psum — O(M d^2) communication per update,
+        independent of N."""
         self.kernel = kernel
         self.likelihood = likelihood
         self.mean_function = mean_function
         self.learning_rate = learning_rate
+        self.mesh = mesh
+        self.shard_axis = shard_axis
         self._inducing_points = Parameter(inducing_points, transform=ordered(),
                                           trainable=False)
         m = inducing_points.shape[-1]
@@ -128,6 +137,11 @@ class SparseCVIGaussianProcess(MarkovFlowSparseModel):
         """theta_m <- (1-rho) theta_m + rho sum_{k in site m} g_k, with data
         gradients projected through HP onto the pair v_m
         (reference: sparse_variational_cvi.py:176-221)."""
+        if self.mesh is not None:
+            from ..parallel.collective_sites import sharded_pair_site_update
+
+            return sharded_pair_site_update(
+                self, input_data, mesh=self.mesh, axis=self.shard_axis)
         time_points, observations = input_data
         f_mu, f_var = self.posterior.predict_f(time_points)
         _, (g1, g2) = self.local_objective_and_gradients(
@@ -153,6 +167,11 @@ class SparseCVIGaussianProcess(MarkovFlowSparseModel):
 
     def classic_elbo(self, input_data) -> jnp.ndarray:
         """(reference: sparse_variational_cvi.py:270-293)."""
+        if self.mesh is not None:
+            from ..parallel.collective_sites import sharded_pair_site_elbo
+
+            return sharded_pair_site_elbo(
+                self, input_data, mesh=self.mesh, axis=self.shard_axis)
         time_points, observations = input_data
         f_mu, f_var = self.posterior.predict_f(time_points)
         ve = jnp.sum(self.likelihood.variational_expectations(

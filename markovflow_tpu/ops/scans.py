@@ -17,12 +17,44 @@ Used by :mod:`markovflow_tpu.state_space_model` (marginals, sampling) and
 """
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 
 __all__ = ["affine_scan", "affine_cov_scan", "affine_cov_scan_tl",
-           "segmented_affine_cov_scan_tl", "scan_tl", "CHUNK",
-           "CHUNK_THRESHOLD"]
+           "segmented_affine_cov_scan_tl", "scan_tl", "forward_mode_ad",
+           "CHUNK", "CHUNK_THRESHOLD"]
+
+
+#: When True (default) the affine scans differentiate via their analytic
+#: custom-VJP adjoints — which makes FORWARD-mode AD (jax.jvp / jax.jacfwd
+#: / jax.hessian) through them a TypeError, since custom_vjp functions
+#: define no JVP rule.  See :func:`forward_mode_ad`.
+_ANALYTIC_ADJOINTS = True
+
+
+@contextlib.contextmanager
+def forward_mode_ad():
+    """Trace-time escape hatch for forward-mode AD through the affine scans.
+
+    Inside this context :func:`affine_scan` / :func:`affine_cov_scan` trace
+    as plain associative scans (no custom VJP), so ``jax.jvp`` /
+    ``jax.jacfwd`` / ``jax.hessian`` work through marginals, mean-function
+    coefficients, and every loss built on them.  The cost is reverse-mode:
+    autodiff through the chunked scan tree unrolls its transpose to ~64x
+    the forward eqn count (the reason the analytic adjoints exist), so use
+    this only for Hessian/JVP work at moderate T.  The flag is read at
+    TRACE time — enter the context before ``jit``/tracing, not inside a
+    traced function.
+    """
+    global _ANALYTIC_ADJOINTS
+    prev = _ANALYTIC_ADJOINTS
+    _ANALYTIC_ADJOINTS = False
+    try:
+        yield
+    finally:
+        _ANALYTIC_ADJOINTS = prev
 
 
 #: test hook: force the unrolled (True) or einsum/LU (False) TL forms
@@ -206,8 +238,7 @@ def _shift_next(f_tl):
                            axis=-1)
 
 
-@jax.custom_vjp
-def _affine_scan_tl(f_tl, c_tl):
+def _affine_scan_tl_raw(f_tl, c_tl):
     def combine(e1, e2):
         f1, c1 = e1
         f2, c2 = e2
@@ -217,8 +248,13 @@ def _affine_scan_tl(f_tl, c_tl):
     return xs
 
 
+@jax.custom_vjp
+def _affine_scan_tl(f_tl, c_tl):
+    return _affine_scan_tl_raw(f_tl, c_tl)
+
+
 def _affine_scan_tl_fwd(f_tl, c_tl):
-    xs = _affine_scan_tl(f_tl, c_tl)
+    xs = _affine_scan_tl_raw(f_tl, c_tl)
     return xs, (f_tl, xs)
 
 
@@ -264,12 +300,12 @@ def affine_scan(F: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     batch = jnp.broadcast_shapes(f_tl.shape[:-3], c_tl.shape[:-3])
     f_tl = jnp.broadcast_to(f_tl, batch + f_tl.shape[-3:])
     c_tl = jnp.broadcast_to(c_tl, batch + c_tl.shape[-3:])
-    xs = _affine_scan_tl(f_tl, c_tl)
+    scan = _affine_scan_tl if _ANALYTIC_ADJOINTS else _affine_scan_tl_raw
+    xs = scan(f_tl, c_tl)
     return jnp.moveaxis(xs[..., 0, :], -1, -2)
 
 
-@jax.custom_vjp
-def _affine_cov_scan_tl_core(f_tl, c_tl, q_tl):
+def _affine_cov_scan_tl_raw(f_tl, c_tl, q_tl):
     def combine(e1, e2):
         f1, c1, q1 = e1
         f2, c2, q2 = e2
@@ -282,8 +318,13 @@ def _affine_cov_scan_tl_core(f_tl, c_tl, q_tl):
     return ms, ps
 
 
+@jax.custom_vjp
+def _affine_cov_scan_tl_core(f_tl, c_tl, q_tl):
+    return _affine_cov_scan_tl_raw(f_tl, c_tl, q_tl)
+
+
 def _affine_cov_scan_tl_fwd(f_tl, c_tl, q_tl):
-    ms, ps = _affine_cov_scan_tl_core(f_tl, c_tl, q_tl)
+    ms, ps = _affine_cov_scan_tl_raw(f_tl, c_tl, q_tl)
     return (ms, ps), (f_tl, ms, ps)
 
 
@@ -328,7 +369,9 @@ def affine_cov_scan_tl(f_tl, c_tl, q_tl):
     f_tl = jnp.broadcast_to(f_tl, batch + f_tl.shape[-3:])
     c_tl = jnp.broadcast_to(c_tl, batch + c_tl.shape[-3:])
     q_tl = jnp.broadcast_to(q_tl, batch + q_tl.shape[-3:])
-    return _affine_cov_scan_tl_core(f_tl, c_tl, q_tl)
+    core = (_affine_cov_scan_tl_core if _ANALYTIC_ADJOINTS
+            else _affine_cov_scan_tl_raw)
+    return core(f_tl, c_tl, q_tl)
 
 
 def affine_cov_scan(F: jnp.ndarray, c: jnp.ndarray, Q: jnp.ndarray):

@@ -143,7 +143,13 @@ def psd_cholesky(mat):
         s = mat[..., j, j]
         for k in range(j):
             s = s - lower[j][k] * lower[j][k]
-        piv = jnp.sqrt(jnp.maximum(s, 0.0))
+        # Double-where guard: sqrt(maximum(s, 0)) has an inf derivative at
+        # the clamp (times maximum's zero cotangent -> NaN grads exactly
+        # when the clamp engages, e.g. CVI dist_q inside a differentiated
+        # objective on a degenerate grid).  Keeping the primal of the inner
+        # where strictly positive makes both value AND gradient finite.
+        pos = s > 0.0
+        piv = jnp.where(pos, jnp.sqrt(jnp.where(pos, s, 1.0)), 0.0)
         lower[j][j] = piv
         safe = jnp.where(piv > 0.0, piv, 1.0)
         for i in range(j + 1, d):

@@ -26,8 +26,11 @@ jax.config.update("jax_enable_x64", True)
 # and this VM migrates between physical hosts (see config.py).
 from markovflow_tpu.config import setup_compilation_cache  # noqa: E402
 
-setup_compilation_cache(
-    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+# MFTPU_TEST_CACHE_DIR override: lets a cold-cache timing run point the
+# suite at a throwaway dir without touching the shared warm cache.
+setup_compilation_cache(os.environ.get(
+    "MFTPU_TEST_CACHE_DIR",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache")))
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -81,3 +81,76 @@ def test_spep_fractions(rng):
     idx = np.searchsorted(np.asarray(z), np.asarray(x))
     for i, f in zip(idx, frac):
         assert_allclose(f, 1.0 / counts[i])
+
+
+# ---------------------------------------------------------------------------
+# batch sweep + gradient oracle (VERDICT r4 #7 — completes the
+# test_combinator_matrix.py pattern for this model family; the reference
+# sweeps batch shapes globally: reference tests/conftest.py:39-48)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("batch_shape", [(3,), (2, 2)], ids=["b3", "b2x2"])
+def test_spep_vmapped_batches_match_loop(rng, batch_shape):
+    """The functional model is a pytree, so a BATCH of datasets runs as one
+    (nested-)vmapped program; each batch element must equal the scalar
+    model run on that dataset alone."""
+    import jax
+
+    x, _ = make_data(rng, n=14)
+    z = jnp.asarray(np.linspace(0.0, 5.0, 5))
+    n_b = int(np.prod(batch_shape))
+    ys = np.sin(2 * np.asarray(x)) + 0.1 * rng.standard_normal(
+        batch_shape + (14,))
+    ys = jnp.asarray(ys[..., None])
+    spep0 = SparsePowerExpectationPropagation(
+        Matern32(lengthscale=0.7, variance=1.2), z,
+        PEPGaussian(Gaussian(variance=NOISE**2)), learning_rate=0.8,
+        alpha=0.8)
+
+    def one(y):
+        m = spep0.update_sites((x, y))
+        return m.classic_elbo((x, y))
+
+    f = one
+    for _ in batch_shape:
+        f = jax.vmap(f)
+    got = jax.jit(f)(ys)
+    assert got.shape == batch_shape
+    flat = np.asarray(got).reshape(n_b)
+    ys_flat = np.asarray(ys).reshape(n_b, 14, 1)
+    one_j = jax.jit(one)
+    for i in range(n_b):
+        assert_allclose(flat[i], float(one_j(jnp.asarray(ys_flat[i]))),
+                        rtol=1e-9)
+
+
+@pytest.mark.parametrize("alpha", [0.8, 1.0])
+def test_spep_energy_gradient_matches_fd(rng, alpha):
+    """Hyperparameter gradient of the PEP energy at fixed sites (the
+    hyper-step of the EP outer loop) vs a central-difference oracle."""
+    import jax
+
+    x, y = make_data(rng, n=12)
+    z = jnp.asarray(np.linspace(0.0, 5.0, 5))
+    spep = SparsePowerExpectationPropagation(
+        Matern32(lengthscale=0.7, variance=1.2), z,
+        PEPGaussian(Gaussian(variance=NOISE**2)), learning_rate=0.8,
+        alpha=alpha)
+    for _ in range(4):
+        spep = UPDATE_SITES_D(spep, (x, y))
+
+    def energy_of(ell):
+        m = SparsePowerExpectationPropagation(
+            Matern32(lengthscale=ell, variance=1.2), z,
+            PEPGaussian(Gaussian(variance=NOISE**2)), learning_rate=0.8,
+            alpha=alpha, nat1=spep.nat1, nat2=spep.nat2,
+            log_norm=spep.log_norm)
+        return m.energy((x, y))
+
+    g = float(jax.jit(jax.grad(energy_of))(jnp.asarray(0.7)))
+    eps = 1e-5
+    e_j = jax.jit(energy_of)
+    fd = float((e_j(jnp.asarray(0.7 + eps)) - e_j(jnp.asarray(0.7 - eps)))
+               / (2 * eps))
+    assert np.isfinite(g)
+    assert_allclose(g, fd, rtol=1e-5)

@@ -136,3 +136,48 @@ def test_natgrad_step_under_mesh_matches_single_device(rng):
     for a, b in zip(jax.tree_util.tree_leaves(new_ref),
                     jax.tree_util.tree_leaves(new_col)):
         assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-8, atol=1e-10)
+
+
+def test_collective_scvi_sites_match_single_device(rng):
+    """Data-parallel SCVI (collective_sites.py): one site update + ELBO on
+    the 8-device mesh must match the single-device model bit-for-bit-ish
+    (psum of shard-local segment sums vs one global segment sum)."""
+    from markovflow_tpu.likelihoods import Poisson
+    from markovflow_tpu.models import SparseCVIGaussianProcess
+
+    n, m = 64, 7
+    data_rng = np.random.default_rng(5)
+    x = np.linspace(0.0, 10.0, n)
+    y = data_rng.poisson(np.exp(0.5 * np.sin(2 * x)))[:, None].astype(
+        np.float64)
+    z = jnp.asarray(np.linspace(-0.1, 10.1, m))
+    mesh = make_mesh(dp=1, sp=8)
+
+    def build(**kw):
+        return SparseCVIGaussianProcess(
+            kernel=Matern32(lengthscale=0.8, variance=1.1),
+            inducing_points=z, likelihood=Poisson(), learning_rate=0.7,
+            **kw)
+
+    ref = build()
+    col = build(mesh=mesh, shard_axis="sp")
+    data = (jnp.asarray(x), jnp.asarray(y))
+
+    e_ref = float(jax.jit(lambda mm: mm.classic_elbo(data))(ref))
+    e_col = float(jax.jit(lambda mm: mm.classic_elbo(data))(col))
+    assert_allclose(e_col, e_ref, rtol=1e-10)
+
+    up_ref = jax.jit(lambda mm: mm.update_sites(data))(ref)
+    up_col = jax.jit(lambda mm: mm.update_sites(data))(col)
+    assert_allclose(np.asarray(up_col.nat1), np.asarray(up_ref.nat1),
+                    rtol=1e-9, atol=1e-12)
+    assert_allclose(np.asarray(up_col.nat2), np.asarray(up_ref.nat2),
+                    rtol=1e-9, atol=1e-12)
+
+    # a second update + elbo improves the bound the same way on both paths
+    e2_ref = float(jax.jit(lambda mm: mm.classic_elbo(data))(
+        jax.jit(lambda mm: mm.update_sites(data))(up_ref)))
+    e2_col = float(jax.jit(lambda mm: mm.classic_elbo(data))(
+        jax.jit(lambda mm: mm.update_sites(data))(up_col)))
+    assert_allclose(e2_col, e2_ref, rtol=1e-10)
+    assert e2_col > e_col

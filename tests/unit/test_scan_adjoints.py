@@ -148,3 +148,53 @@ def test_adjoint_under_chunking_threshold_boundary(rng):
         g2 = jax.grad(loss_flat, argnums=(0, 1, 2))(f, c, q)
         for a, b in zip(g1, g2):
             np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-11)
+
+
+def test_forward_mode_raises_by_default_and_works_in_context(rng):
+    """Custom-VJP scans have no JVP rule; the forward_mode_ad() escape
+    hatch must (a) make jax.jvp work and agree with finite differences,
+    and (b) leave reverse-mode equal to the analytic-adjoint default."""
+    n, d = 9, 2
+    F = jnp.asarray(rng.standard_normal((n, d, d))) * 0.5
+    c = jnp.asarray(rng.standard_normal((n, d)))
+    w = jnp.asarray(rng.standard_normal((n, d)))
+    dc = jnp.asarray(rng.standard_normal((n, d)))
+
+    def loss(c_):
+        return jnp.sum(S.affine_scan(F, c_) * w)
+
+    with pytest.raises(TypeError):
+        jax.jvp(loss, (c,), (dc,))
+
+    with S.forward_mode_ad():
+        val, tang = jax.jvp(loss, (c,), (dc,))
+        eps = 1e-6
+        fd = (loss(c + eps * dc) - loss(c - eps * dc)) / (2 * eps)
+        np.testing.assert_allclose(float(tang), float(fd), rtol=1e-6)
+        g_fwd = jax.grad(loss)(c)
+    g_analytic = jax.grad(loss)(c)
+    np.testing.assert_allclose(g_fwd, g_analytic, rtol=1e-9, atol=1e-11)
+    # the flag is restored on exit
+    assert S._ANALYTIC_ADJOINTS is True
+
+
+def test_forward_mode_hessian_through_cov_scan(rng):
+    """jax.hessian through the cov scan inside the hatch (the use case the
+    round-4 advisor flagged: second-order work through marginals)."""
+    n, d = 6, 2
+    f = jnp.asarray(rng.standard_normal((d, d, n))) * 0.4
+    c0 = jnp.asarray(rng.standard_normal((d, 1, n)))
+    half = rng.standard_normal((d, d, n)) * 0.3
+    q = jnp.asarray(np.einsum("ikn,jkn->ijn", half, half))
+    wm = jnp.asarray(rng.standard_normal((d, 1, n)))
+
+    def loss(c_):
+        ms, ps = S.affine_cov_scan_tl(f, c_, q)
+        return jnp.sum(ms * wm) + 0.1 * jnp.sum(ps * ps)
+
+    with S.forward_mode_ad():
+        h = jax.hessian(loss)(c0)
+    assert h.shape == c0.shape + c0.shape
+    # Hessian is symmetric under index exchange
+    hm = h.reshape(c0.size, c0.size)
+    np.testing.assert_allclose(hm, hm.T, rtol=1e-8, atol=1e-10)
