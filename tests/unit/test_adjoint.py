@@ -52,15 +52,25 @@ def _check(args, mask=None, argnums=tuple(range(6)), atol=1e-7):
                         err_msg=f"grad mismatch for {name}")
 
 
-@pytest.mark.parametrize("d,o", [(1, 1), (2, 1), (2, 2), (3, 2), (4, 1)])
+# fast tier keeps ONE oracle per engine (d=2, o=2); the sweep is the
+# nightly-style full tier (compile-dominated: ~25s/config on this host)
+@pytest.mark.parametrize("d,o", [
+    pytest.param(1, 1, marks=pytest.mark.slow),
+    pytest.param(2, 1, marks=pytest.mark.slow),
+    (2, 2),
+    pytest.param(3, 2, marks=pytest.mark.slow),
+    pytest.param(4, 1, marks=pytest.mark.slow),
+])
 def test_koopman_grads_match_autodiff(rng, d, o):
     _check(_tl_inputs(rng, 61, d, o))
 
 
+@pytest.mark.slow
 def test_koopman_grads_batched(rng):
     _check(_tl_inputs(rng, 40, 2, 1, batch=(3,)), argnums=(0, 1, 2, 4))
 
 
+@pytest.mark.slow
 def test_koopman_grads_masked(rng):
     args = _tl_inputs(rng, 80, 2, 1)
     n = args[0].shape[-1]
@@ -74,6 +84,7 @@ def test_koopman_grads_masked(rng):
     _check((F, c, Q, H, nu, lam), mask=mask, argnums=(0, 1, 2))
 
 
+@pytest.mark.slow
 def test_koopman_grads_near_singular_q(rng):
     """The regime where the Fisher identity breaks (Q ~ 1e-8): the gain-form
     score must still match autodiff tightly."""

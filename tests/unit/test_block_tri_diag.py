@@ -184,6 +184,7 @@ def test_cr_solve_and_log_det_match_dense(rng, n, d):
     assert_allclose(ld, np.linalg.slogdet(dense)[1], atol=1e-8)
 
 
+@pytest.mark.slow
 def test_cr_solve_batched(rng):
     n, d, batch = 9, 2, (3,)
     diag, lower = _random_spd_btd(rng, n, d, batch)

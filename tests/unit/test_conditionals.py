@@ -2,6 +2,7 @@
 (reference pattern: tests/integration/test_posterior.py + the CR docstring
 in reference conditionals.py:258-376)."""
 import jax.numpy as jnp
+import pytest
 import numpy as np
 from numpy.testing import assert_allclose
 
@@ -49,9 +50,13 @@ def test_conditional_statistics_match_dense_gaussian_conditioning(rng):
     assert_allclose(np.asarray(off[0]), 0.0, atol=1e-10)  # zero-mean kernel
 
 
-def test_conditional_predict_matches_union_grid_marginals(rng):
-    for kernel in (Matern12(lengthscale=0.6, variance=0.9),
-                   Matern52(lengthscale=1.1, variance=1.4)):
+@pytest.mark.parametrize("make_kernel", [
+    lambda: Matern12(lengthscale=0.6, variance=0.9),
+    pytest.param(lambda: Matern52(lengthscale=1.1, variance=1.4),
+                 marks=pytest.mark.slow),
+], ids=["m12", "m52"])
+def test_conditional_predict_matches_union_grid_marginals(rng, make_kernel):
+    for kernel in (make_kernel(),):
         existing = np.sort(rng.uniform(0, 4, 7))
         t_new = np.array([0.5 * (existing[i] + existing[i + 1])
                           for i in (0, 2, 4)])

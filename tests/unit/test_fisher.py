@@ -28,7 +28,12 @@ def _tl_inputs(rng, t_len, d, o=1, batch=()):
             to_tl(Hs), to_tl(nu[..., None]), to_tl(lam))
 
 
-@pytest.mark.parametrize("d,o", [(1, 1), (2, 1), (2, 2), (3, 2)])
+@pytest.mark.parametrize("d,o", [
+    pytest.param(1, 1, marks=pytest.mark.slow),
+    (2, 1),
+    pytest.param(2, 2, marks=pytest.mark.slow),
+    pytest.param(3, 2, marks=pytest.mark.slow),
+])
 def test_fisher_grads_match_autodiff(rng, d, o):
     args = _tl_inputs(rng, 61, d, o)
 
@@ -53,6 +58,7 @@ def test_fisher_grads_match_autodiff(rng, d, o):
                         err_msg=f"grad mismatch for {name}")
 
 
+@pytest.mark.slow
 def test_fisher_grads_match_autodiff_masked(rng):
     args = _tl_inputs(rng, 80, 2, 1)
     n = args[0].shape[-1]
@@ -94,6 +100,7 @@ def test_fisher_grads_match_autodiff_masked(rng):
                         err_msg=f"observed-step grad mismatch for {name}")
 
 
+@pytest.mark.slow
 def test_fisher_grads_batched(rng):
     args = _tl_inputs(rng, 40, 2, 1, batch=(3,))
 

@@ -54,7 +54,11 @@ def _oracle_affine_scan(F, c):
     return jnp.moveaxis(xs[..., 0, :], -1, -2)
 
 
-@pytest.mark.parametrize("d", [1, 2, 3])
+@pytest.mark.parametrize("d", [
+    pytest.param(1, marks=pytest.mark.slow),
+    2,
+    pytest.param(3, marks=pytest.mark.slow),
+])
 def test_affine_cov_scan_adjoint_matches_autodiff(batch_shape, d, rng):
     n = 17
     f = jnp.asarray(rng.standard_normal(batch_shape + (d, d, n))) * 0.5
@@ -82,7 +86,10 @@ def test_affine_cov_scan_adjoint_matches_autodiff(batch_shape, d, rng):
     np.testing.assert_allclose(sym(g1[2]), sym(g2[2]), rtol=1e-9, atol=1e-11)
 
 
-@pytest.mark.parametrize("d", [1, 3])
+@pytest.mark.parametrize("d", [
+    pytest.param(1, marks=pytest.mark.slow),
+    3,
+])
 def test_affine_scan_adjoint_matches_autodiff(batch_shape, d, rng):
     n = 13
     F = jnp.asarray(rng.standard_normal(batch_shape + (n, d, d))) * 0.5
@@ -98,6 +105,7 @@ def test_affine_scan_adjoint_matches_autodiff(batch_shape, d, rng):
     np.testing.assert_allclose(g1[1], g2[1], rtol=1e-9, atol=1e-11)
 
 
+@pytest.mark.slow
 def test_affine_scan_adjoint_broadcast_sample_dims(rng):
     """The sampling path broadcasts c over leading sample dims (IWVI
     reparameterized gradients flow through this)."""
@@ -178,6 +186,7 @@ def test_forward_mode_raises_by_default_and_works_in_context(rng):
     assert S._ANALYTIC_ADJOINTS is True
 
 
+@pytest.mark.slow
 def test_forward_mode_hessian_through_cov_scan(rng):
     """jax.hessian through the cov scan inside the hatch (the use case the
     round-4 advisor flagged: second-order work through marginals)."""

@@ -1,6 +1,7 @@
 """Round-trip tests for parameter transformations
 (pattern: reference tests/unit/test_ssm_gaussian_transformations.py)."""
 import jax.numpy as jnp
+import pytest
 import numpy as np
 from numpy.testing import assert_allclose
 
@@ -90,6 +91,7 @@ def test_naturals_parallel_roundtrip(rng):
         assert_allclose(np.asarray(p), np.asarray(s), atol=1e-7)
 
 
+@pytest.mark.slow
 def test_naturals_parallel_batched(rng):
     from markovflow_tpu.ssm_gaussian_transformations import (
         naturals_to_ssm_params_parallel,

@@ -37,7 +37,9 @@ def _uniform_problem(rng, n=73, d=2, o=1, batch=()):
             p0[..., None], hc[..., None], nu, lam)
 
 
-@pytest.mark.parametrize("batch", [(), (3,)], ids=["scalar", "b3"])
+@pytest.mark.parametrize("batch", [
+    (), pytest.param((3,), marks=pytest.mark.slow),
+], ids=["scalar", "b3"])
 @isolated
 def test_uniform_value_and_grads_match_general(rng, batch):
     args = _uniform_problem(rng, batch=batch)
@@ -78,7 +80,9 @@ def test_uniform_with_mask_matches_general(rng):
     assert_allclose(np.asarray(v_u), np.asarray(v_g), rtol=1e-10)
 
 
-@pytest.mark.parametrize("n", [64, 73], ids=["aligned", "padded"])
+@pytest.mark.parametrize("n", [
+    64, pytest.param(73, marks=pytest.mark.slow),
+], ids=["aligned", "padded"])
 @isolated
 def test_uniform_pallas_kernels_interpret(rng, n):
     """Interpret-mode Pallas uniform kernels vs the XLA fallback."""
@@ -115,6 +119,7 @@ def test_uniform_pallas_kernels_interpret(rng, n):
                         atol=1e-9, err_msg=name)
 
 
+@pytest.mark.slow
 def test_gpr_uniform_flag_and_parity(rng):
     """GPR on a numpy uniform grid takes the fast path and matches the
     general engine's loss and gradients."""
@@ -160,6 +165,7 @@ def test_gpr_nonuniform_grid_not_detected(rng):
     assert not m._uniform_grid
 
 
+@pytest.mark.slow
 def test_cvi_uniform_matches_general(rng):
     from markovflow_tpu.kernels import Matern32
     from markovflow_tpu.likelihoods import Gaussian
