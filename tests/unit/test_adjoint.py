@@ -96,6 +96,7 @@ def test_koopman_grads_near_singular_q(rng):
     _check(tuple(args), argnums=(0, 1, 2, 4), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_koopman_grads_exactly_singular_q(rng):
     """Q = 0 at interior steps (Constant/Harmonic kernels): Fisher cannot run
     at all; the gain-form score must match autodiff."""

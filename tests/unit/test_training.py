@@ -50,7 +50,10 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     assert_allclose(
         float(restored.kernel.lengthscale.value),
         float(trained.kernel.lengthscale.value), rtol=1e-12)
-    assert_allclose(float(restored.loss()), float(trained.loss()), rtol=1e-12)
+    from tests.tools import LOSS
+    # jitted: an eager .loss() dispatches op-by-op (~50s on this host)
+    assert_allclose(float(LOSS(restored)), float(LOSS(trained)),
+                    rtol=1e-12)
 
 
 def test_filtered_value_and_grad_matches_full(rng):
