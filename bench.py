@@ -724,6 +724,12 @@ def main():
     start = time.time()
     deadline = start + BUDGET_S
     configs = {}
+    # MFTPU_BENCH_ONLY="parity,svgp": restrict the run to a subset of ORDER
+    # (targeted retries for configs starved by tunnel flaps — a green window
+    # shouldn't be spent re-measuring configs that already have fresh
+    # numbers).  The driver's full run leaves this unset.
+    only = os.environ.get("MFTPU_BENCH_ONLY")
+    order = ([c for c in ORDER if c in only.split(",")] if only else ORDER)
 
     def remaining():
         return deadline - time.time()
@@ -749,9 +755,12 @@ def main():
             _note("bench: backend never recovered; stale record stands")
             return
 
-    for i, name in enumerate(ORDER):
+    def reserve_after_in(i, order_):
+        return sum(BOXES[c][1] for c in order_[i + 1:])
+
+    for i, name in enumerate(order):
         nominal, minimum = BOXES[name]
-        box = int(min(nominal, remaining() - reserve_after(i)))
+        box = int(min(nominal, remaining() - reserve_after_in(i, order)))
         if box < minimum:
             if remaining() > minimum:
                 box = minimum  # eat into the reserve rather than skip
@@ -766,7 +775,8 @@ def main():
         # device handshake — the probe runs real compute).  A dead probe
         # here downgrades the config to its stale value instead of running.
         alive = _wait_for_backend(max_wait_s=min(
-            180.0, max(0.0, remaining() - reserve_after(i) - minimum)))
+            180.0, max(0.0, remaining() - reserve_after_in(i, order)
+                       - minimum)))
         if not alive and not _probe_backend(timeout_s=30.0):
             _note(f"bench: backend down at {name}; using last-good value")
             configs[f"{name}_status"] = "backend down (stale value used)"
@@ -774,10 +784,10 @@ def main():
             continue
         res = _run_config(name, box)
         if name == "gpr_cvi" and "gpr_T1e6_f32_ms" not in res \
-                and remaining() - reserve_after(i) > minimum:
+                and remaining() - reserve_after_in(i, order) > minimum:
             _note("bench: headline config failed; one retry")
             res = _run_config(name, int(
-                min(nominal, remaining() - reserve_after(i))))
+                min(nominal, remaining() - reserve_after_in(i, order))))
         configs.update(res)
         _update_lastgood(res)
         _emit(configs)
