@@ -80,7 +80,7 @@ BUDGET_S = int(os.environ.get("MFTPU_BENCH_BUDGET_S", "1380"))
 # nominal and skips a config only when even its minimum no longer fits.
 BOXES = {
     "gpr_cvi": (420, 300),
-    "parity": (300, 120),
+    "parity": (480, 120),
     "sde": (120, 60),
     "d9": (240, 90),
     "vgp": (600, 240),
@@ -359,8 +359,9 @@ def bench_parity():
     Runs in its own child process with x64 ENABLED from the start so both
     precisions are available; f32 operands keep the fast kernels on their
     f32 paths (the kernels are x64-hygienic; tests/unit/test_mosaic_lowering).
-    T = 2e4 keeps the f64 oracle compile inside the timebox (the f64 graph
-    at T = 1e5 did not trace+compile in 420 s on a contended host).
+    T = 1e4 keeps the f64 oracle's on-chip compile inside the timebox (at
+    T = 2e4 the oracle compile outran a 300 s box across three round-5
+    attempts on the flapping tunnel; the parity statement is T-insensitive).
     """
     import jax
 
@@ -372,7 +373,7 @@ def bench_parity():
     from markovflow_tpu.models import GaussianProcessRegression
     from markovflow_tpu.utils import filtered_value_and_grad, trainable_mask
 
-    t_len = 20_000
+    t_len = 10_000
     rng = np.random.default_rng(0)
     x = np.linspace(0.0, 100.0, t_len)
     y = (np.sin(2.0 * x) + 0.2 * rng.standard_normal(t_len))[:, None]
