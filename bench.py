@@ -609,14 +609,32 @@ def _load_lastgood() -> dict:
 def _update_lastgood(configs: dict):
     """Refresh BENCH_LASTGOOD.json with every fresh numeric metric (and its
     qualifier tags) from this run.  Values merge key-by-key, so a partial
-    run never erases a config measured by an earlier full run."""
+    run never erases a config measured by an earlier full run — and a
+    mere upper bound never overwrites a completed slope measurement (the
+    protocol tag records which is which)."""
     fresh = {k: v for k, v in configs.items()
              if k.startswith(_CARRY_PREFIXES) and "status" not in k}
     if not any(isinstance(v, (int, float)) and not isinstance(v, bool)
                for v in fresh.values()):
         return
     rec = _load_lastgood()
-    rec.setdefault("configs", {}).update(fresh)
+    good = rec.setdefault("configs", {})
+    proto_of = {
+        "gpr_T1e6_f32_ms": "gpr_protocol",
+        "gpr_general_T1e6_f32_ms": "gpr_general_protocol",
+        "cvi_T1e6_f32_ms": "cvi_protocol",
+        "sde_doublewell_n16384_f32_ms": "sde_protocol",
+        "vgp_bernoulli_natgrad_T1e5_f64_ms": "vgp_protocol",
+        "svgp_natgrad_N1e5_M2048_f64_ms": "svgp_protocol",
+        "gpr_sum3xM52_d9_T1e5_f32_ms": "d9_protocol",
+    }
+    for k, pk in proto_of.items():
+        old_p, new_p = good.get(pk, ""), fresh.get(pk, "")
+        if ("slope" in str(old_p) and "upper-bound" in str(new_p)
+                and k in good):
+            fresh.pop(k, None)
+            fresh.pop(pk, None)
+    good.update(fresh)
     rec["updated"] = time.strftime("%Y-%m-%d %H:%M:%S %Z")
     try:
         commit = subprocess.run(

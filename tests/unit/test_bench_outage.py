@@ -133,3 +133,28 @@ def test_update_lastgood_merges_key_by_key(tmp_path, monkeypatch):
     before = p.read_text()
     bench._update_lastgood({"svgp_status": "skipped"})
     assert p.read_text() == before
+
+
+def test_update_lastgood_keeps_slope_over_upper_bound(tmp_path, monkeypatch):
+    """A harvested single-step upper bound must not overwrite a completed
+    slope measurement from an earlier run (observed live: a 24.9 ms sde
+    upper bound clobbered the 1.536 ms slope value)."""
+    import importlib
+    import json as _json
+
+    p = tmp_path / "lg.json"
+    monkeypatch.setenv("MFTPU_BENCH_LASTGOOD", str(p))
+    import bench
+    importlib.reload(bench)
+    bench._update_lastgood({"sde_doublewell_n16384_f32_ms": 1.5,
+                            "sde_protocol": "slope-k1-k8"})
+    bench._update_lastgood({"sde_doublewell_n16384_f32_ms": 24.9,
+                            "sde_protocol": "single-step-upper-bound"})
+    rec = _json.loads(p.read_text())
+    assert rec["configs"]["sde_doublewell_n16384_f32_ms"] == 1.5
+    assert rec["configs"]["sde_protocol"] == "slope-k1-k8"
+    # ... but a better slope value DOES refresh
+    bench._update_lastgood({"sde_doublewell_n16384_f32_ms": 1.2,
+                            "sde_protocol": "slope-k1-k8"})
+    rec = _json.loads(p.read_text())
+    assert rec["configs"]["sde_doublewell_n16384_f32_ms"] == 1.2
