@@ -84,7 +84,11 @@ BOXES = {
     "sde": (120, 60),
     "d9": (240, 90),
     "vgp": (600, 240),
-    "svgp": (600, 240),
+    # svgp nominal is large: the first f64 compile (M=2048 natgrad +
+    # N=1e5 projection) exceeds 600 s on-chip; the driver's global
+    # budget clamps it, and once the executable is in the persistent
+    # cache the config completes in a fraction of this.
+    "svgp": (1500, 240),
 }
 # BASELINE configs first (cheapest-first within that), the d9 extra last:
 # vgp/svgp have never landed a driver-time number, so they outrank d9.
