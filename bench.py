@@ -752,7 +752,7 @@ def main():
     # shouldn't be spent re-measuring configs that already have fresh
     # numbers).  The driver's full run leaves this unset.
     only = os.environ.get("MFTPU_BENCH_ONLY")
-    order = ([c for c in ORDER if c in only.split(",")] if only else ORDER)
+    order = ([c for c in only.split(",") if c in BOXES] if only else ORDER)
 
     def remaining():
         return deadline - time.time()
