@@ -80,7 +80,7 @@ BUDGET_S = int(os.environ.get("MFTPU_BENCH_BUDGET_S", "1380"))
 # nominal and skips a config only when even its minimum no longer fits.
 BOXES = {
     "gpr_cvi": (420, 300),
-    "parity": (480, 120),
+    "parity": (900, 120),
     "sde": (120, 60),
     "d9": (600, 90),  # first d=9 recursive-Schur Pallas compile > 240 s
     "vgp": (600, 240),
