@@ -62,7 +62,13 @@ def pick_scan_engine(F, engine: str, lam=None) -> str:
     ``lam`` (site precisions, [..., o, o, N]) is checked when given: the
     in-kernel innovation inverse also requires o <= 12 / float32.
     """
-    if engine != "pallas":
+    # MFTPU_FORCE_XLA_SCANS=1 disables the hand-written kernels globally
+    # (read at trace time): escape hatch for Mosaic compile pathologies —
+    # observed: the d = 9 recursive-Schur kernel's backend compile outruns
+    # any practical budget on the remote-compile runtime.
+    import os as _os
+
+    if engine != "pallas" or _os.environ.get("MFTPU_FORCE_XLA_SCANS") == "1":
         return "xla"
     if F.ndim < 3 or F.shape[-3] > 12 or F.dtype != jnp.float32:
         return "xla"

@@ -231,3 +231,19 @@ def test_fused_pipeline_matches_xla_d9(rng):
     assert_allclose(np.asarray(m), np.asarray(m_ref), atol=1e-8)
     assert_allclose(np.asarray(p), np.asarray(p_ref), atol=1e-8)
     assert_allclose(float(ll), float(ll_ref), rtol=1e-10)
+
+
+def test_force_xla_scans_env_knob(monkeypatch):
+    """MFTPU_FORCE_XLA_SCANS=1 must route every eligible request to the
+    XLA scans (escape hatch for Mosaic compile pathologies, e.g. the d=9
+    recursive-Schur kernel's remote backend compile)."""
+    import jax.numpy as jnp
+
+    from markovflow_tpu.ops.pallas_scan import pick_scan_engine
+
+    f = jnp.zeros((2, 2, 8), jnp.float32)
+    monkeypatch.setenv("MFTPU_FORCE_XLA_SCANS", "1")
+    assert pick_scan_engine(f, "pallas") == "xla"
+    monkeypatch.delenv("MFTPU_FORCE_XLA_SCANS")
+    # without the knob the decision reverts to backend eligibility
+    assert pick_scan_engine(f, "xla") == "xla"
