@@ -82,7 +82,7 @@ BOXES = {
     "gpr_cvi": (420, 300),
     "parity": (900, 120),
     "sde": (120, 60),
-    "d9": (600, 90),  # first d=9 recursive-Schur Pallas compile > 240 s
+    "d9": (900, 90),  # d=9 compiles (Mosaic AND XLA) exceed 600 s on-chip
     "vgp": (600, 240),
     # svgp nominal is large: the first f64 compile (M=2048 natgrad +
     # N=1e5 projection) exceeds 600 s on-chip; the driver's global
