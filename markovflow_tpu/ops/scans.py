@@ -115,8 +115,14 @@ CHUNK = 4096
 #: budget at CHUNK=4096 (12 levels).  A shallower inner scan trades outer
 #: sequential steps (cheap: the f64 runtime is emulation-bound anyway) for
 #: a multiplicatively smaller compile.
-CHUNK_THRESHOLD_F64 = 1024
-CHUNK_F64 = 512
+#: Env-overridable (read at import) for on-chip tuning experiments:
+#: MFTPU_CHUNK_F64 / MFTPU_CHUNK_THRESHOLD_F64.  Larger chunks mean fewer
+#: sequential outer steps per scan (runtime) but multiplicatively larger
+#: XLA compiles (the f64-emulation expansion).
+import os as _os  # noqa: E402 — local alias, keeps the public surface clean
+
+CHUNK_THRESHOLD_F64 = int(_os.environ.get("MFTPU_CHUNK_THRESHOLD_F64", 1024))
+CHUNK_F64 = int(_os.environ.get("MFTPU_CHUNK_F64", 512))
 
 
 def _chunk_params(dtype):
