@@ -232,6 +232,24 @@ class BaseKalmanFilter(Module, abc.ABC):
         from .ops.pallas_scan import pick_scan_engine
 
         engine = pick_scan_engine(F, engine, lam)
+        if engine == "pallas" and self.prior_const_tl is not None:
+            # uniform fast path: constant (F, c, Q, H) stay in VMEM and the
+            # RTS elements are built in-kernel — per-step HBM traffic drops
+            # from ~35 f32 (materialized priors + element glue) to 12
+            from .ops.pallas_scan import (pallas_filter_pipeline_uniform,
+                                          pallas_smoother_pipeline_uniform)
+
+            Fc, cc, Qc, mu0, P0 = self.prior_const_tl
+            hm = self.emission.emission_matrix
+            hc = jnp.moveaxis(hm[..., :1, :, :], -3, -1)  # [..., o, d, 1]
+            maskf = None if mask is None else jnp.broadcast_to(
+                mask, F.shape[:-3] + (F.shape[-1],)
+            ).astype(F.dtype)[..., None, None, :]
+            m_f, p_f, _ = pallas_filter_pipeline_uniform(
+                Fc, cc, Qc, mu0, P0, hc, nu, lam, maskf)
+            m_s, p_s = pallas_smoother_pipeline_uniform(Fc, cc, Qc, m_f, p_f)
+            return (jnp.moveaxis(m_s[..., 0, :], -1, -2),
+                    jnp.moveaxis(p_s, -1, -3))
         m_f, p_f, _ = K.filter_pipeline_tl(F, c, Q, h, nu, lam, mask,
                                            engine=engine)
         m_s, p_s, _ = K.smoother_pipeline_tl(F, c, Q, m_f, p_f,

@@ -1363,3 +1363,154 @@ def pallas_smoother_scan(elems, *, chunk: int = None,
     m_s, p_s = _from_blocked(out[0]), _from_blocked(out[1])
     return (m_s[..., pad:].reshape(lead + (d, db, n)),
             p_s[..., pad:].reshape(lead + (d, d, n)))
+
+
+def _uniform_smoother_kernel(fc_ref, cc_ref, qc_ref, mf_ref, pf_ref,
+                             ms_ref, ps_ref,
+                             carry_e, carry_g, carry_l, *, r_blk, lanes):
+    """Fused reverse smoother with constant (F, c, Q): the RTS element
+    (E = gain, g, L) is built in-kernel from the filtered moments, so the
+    only HBM streams are (m_f, p_f) in and (m_s, P_s) out — the measured
+    element-construction "glue" (roofline: 132 B/step with glue vs 64
+    kernel-only) never touches HBM.  The LAST global slot substitutes the
+    boundary element (0, m_f[-1], p_f[-1]); front padding is zeros, whose
+    constructed element (E = 0 Fᵀ (Q)⁻¹ = 0, g = 0, L = 0) annihilates the
+    (discarded) padded prefix without extra masking."""
+    d = fc_ref.shape[1]
+    dtype = fc_ref.dtype
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        ident = _smoother_identity(d, 1, 1, dtype)
+        carry_e[...] = ident[0]
+        carry_g[...] = ident[1]
+        carry_l[...] = ident[2]
+
+    fc, ccst, qc = fc_ref[0], cc_ref[0], qc_ref[0]  # [d, d/1, 1, 1]
+    mkb, pkb = mf_ref[0], pf_ref[0]                 # [d, 1/d, R, L]
+
+    # RTS element construction, vectorized over the full [.., R, L] block
+    p_pred = _sym(_mm(fc, _mm(pkb, _t(fc))) + qc)
+    gains = _mm(_mm(pkb, _t(fc)), _inv(p_pred))
+    g = mkb - _mm(gains, _mm(fc, mkb) + ccst)
+    ell = _sym(pkb - _mm(gains, _mm(fc, pkb)))
+
+    # boundary: the final global slot (reverse grid => i == 0 reads the
+    # last chunk) carries (0, m_f[-1], p_f[-1])
+    rl = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, r_blk, lanes), 3)
+          * r_blk
+          + jax.lax.broadcasted_iota(jnp.int32, (1, 1, r_blk, lanes), 2))
+    last = (i == 0) & (rl == r_blk * lanes - 1)
+    zero = jnp.zeros((), dtype)
+    e_blk = jnp.where(last, zero, gains)
+    g_blk = jnp.where(last, mkb, g)
+    l_blk = jnp.where(last, pkb, ell)
+
+    def elem(r):
+        return (e_blk[:, :, r, :], g_blk[:, :, r, :], l_blk[:, :, r, :])
+
+    # 1. within-block sequential suffixes (r_blk-1 ... 0)
+    suf = [elem(r_blk - 1)]
+    for r in range(r_blk - 2, -1, -1):
+        suf.append(_combine_smoother(suf[-1], elem(r)))
+    suf = suf[::-1]
+
+    # 2. Hillis-Steele suffix scan over the lane block totals
+    db = 1
+    ident = _smoother_identity(d, db, lanes, dtype)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (d, d, lanes), dimension=2)
+    lane_b = jax.lax.broadcasted_iota(jnp.int32, (d, db, lanes), dimension=2)
+    masks = (lane, lane_b, lane)
+    tot = suf[0]
+    k = 1
+    while k < lanes:
+        shifted = tuple(_roll(t, lanes - k, 2) for t in tot)
+        shifted = tuple(jnp.where(m >= lanes - k, idl, s)
+                        for m, idl, s in zip(masks, ident, shifted))
+        tot = _combine_smoother(shifted, tot)
+        k *= 2
+    excl = tuple(_roll(t, lanes - 1, 2) for t in tot)
+    excl = tuple(jnp.where(m >= lanes - 1, idl, s)
+                 for m, idl, s in zip(masks, ident, excl))
+    carry = (carry_e[...], carry_g[...], carry_l[...])
+    carry_bcast = tuple(jnp.broadcast_to(cc, x.shape)
+                        for cc, x in zip(carry, excl))
+    exc = _combine_smoother(carry_bcast, excl)
+
+    # 3. fold the exclusive suffix into all within-block suffixes at once
+    suf_blk = tuple(jnp.stack([s[j] for s in suf], axis=2) for j in range(3))
+    exc_b = tuple(x[:, :, None, :] for x in exc)
+    out_blk = _combine_smoother(exc_b, suf_blk)
+    ms_ref[0] = out_blk[1]
+    ps_ref[0] = out_blk[2]
+
+    # 4. new carry: the full suffix at the first element of the chunk
+    exc_first = tuple(x[..., :1] for x in exc)
+    suf_first = tuple(x[..., :1] for x in suf[0])
+    new_carry = _combine_smoother(exc_first, suf_first)
+    carry_e[...] = new_carry[0]
+    carry_g[...] = new_carry[1]
+    carry_l[...] = new_carry[2]
+
+
+def pallas_smoother_pipeline_uniform(Fc, cc, Qc, m_f, p_f, *,
+                                     chunk: int = None, r_blk: int = None,
+                                     interpret: bool = False):
+    """Fused RTS smoother for a uniform grid: constant prior steps
+    (Fc [..., d, d, 1], cc [..., d, 1, 1], Qc [..., d, d, 1]) plus the
+    filtered moments (m_f [..., d, 1, N], p_f [..., d, d, N]).  Returns
+    (m_s, P_s) exactly as :func:`markovflow_tpu.ops.kalman.
+    smoother_pipeline_tl` — but with element construction inside the
+    kernel, so per-step HBM traffic is 48 B (d = 2) instead of 132."""
+    lead = m_f.shape[:-3]
+    n = m_f.shape[-1]
+    d = Fc.shape[-3]
+    bc = lambda x, d1, d2: jnp.broadcast_to(
+        x, lead + (d1, d2, 1)).reshape((-1, d1, d2, 1, 1))
+    fc = bc(Fc, d, d)
+    ccst = bc(cc, d, 1)
+    qc = bc(Qc, d, d)
+    flat = lambda x: x.reshape((-1,) + x.shape[-3:])
+    m_f, p_f = flat(m_f), flat(p_f)
+    bdim = m_f.shape[0]
+    chunk, r_blk, lanes = _resolve_chunk(d, chunk, r_blk)
+    num_chunks = -(-n // chunk)
+    pad = num_chunks * chunk - n
+    if pad:
+        # FRONT padding (reverse scan); zeros construct an annihilating
+        # (0, 0, 0) element — see the kernel docstring
+        zcat = lambda x: jnp.concatenate(
+            [jnp.zeros(x.shape[:-1] + (pad,), x.dtype), x], axis=-1)
+        m_f, p_f = zcat(m_f), zcat(p_f)
+    blk = functools.partial(_to_blocked, r_blk=r_blk)
+    m_f, p_f = blk(m_f), blk(p_f)
+
+    cspec = lambda d1, d2: pl.BlockSpec((1, d1, d2, 1, 1),
+                                        lambda bi, i: (bi, 0, 0, 0, 0),
+                                        memory_space=pltpu.VMEM)
+    rev = lambda bi, i: (bi, 0, 0, 0, pl.num_programs(1) - 1 - i)
+    spec = lambda d1, d2: pl.BlockSpec((1, d1, d2, r_blk, lanes), rev,
+                                       memory_space=pltpu.VMEM)
+    nb_tot = num_chunks * lanes
+    out = pl.pallas_call(
+        functools.partial(_uniform_smoother_kernel, r_blk=r_blk,
+                          lanes=lanes),
+        grid=(bdim, num_chunks),
+        in_specs=[cspec(d, d), cspec(d, 1), cspec(d, d),
+                  spec(d, 1), spec(d, d)],
+        out_specs=(spec(d, 1), spec(d, d)),
+        out_shape=(
+            jax.ShapeDtypeStruct((bdim, d, 1, r_blk, nb_tot), m_f.dtype),
+            jax.ShapeDtypeStruct((bdim, d, d, r_blk, nb_tot), m_f.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((d, d, 1), m_f.dtype),
+            pltpu.VMEM((d, 1, 1), m_f.dtype),
+            pltpu.VMEM((d, d, 1), m_f.dtype),
+        ],
+        interpret=interpret,
+    )(fc, ccst, qc, m_f, p_f)
+    m_s, p_s = _from_blocked(out[0]), _from_blocked(out[1])
+    return (m_s[..., pad:].reshape(lead + (d, 1, n)),
+            p_s[..., pad:].reshape(lead + (d, d, n)))

@@ -119,6 +119,52 @@ def test_uniform_pallas_kernels_interpret(rng, n):
                         atol=1e-9, err_msg=name)
 
 
+@pytest.mark.parametrize("n", [
+    64, pytest.param(73, marks=pytest.mark.slow),
+], ids=["aligned", "padded"])
+@isolated
+def test_uniform_pallas_smoother_interpret(rng, n):
+    """Fused uniform RTS smoother (in-kernel element construction) vs the
+    XLA smoother pipeline on the materialized arrays."""
+    from markovflow_tpu.ops.adjoint import _materialize_uniform
+    from markovflow_tpu.ops.kalman import (filter_pipeline_tl,
+                                           smoother_pipeline_tl)
+    from markovflow_tpu.ops.pallas_scan import pallas_smoother_pipeline_uniform
+
+    fc, cc, qc, mu0, p0, hc, nu, lam = _uniform_problem(rng, n=n)
+    F, c, Q, H = _materialize_uniform(fc, cc, qc, mu0, p0, hc, n)
+    m_f, p_f, _ = jrun(filter_pipeline_tl, F, c, Q, H, nu, lam)
+    m_k, p_k = jrun(pallas_smoother_pipeline_uniform, fc, cc, qc, m_f, p_f,
+                    chunk=16, r_blk=4, interpret=True)
+    m_x, p_x, _ = jrun(smoother_pipeline_tl, F, c, Q, m_f, p_f)
+    assert_allclose(np.asarray(m_k), np.asarray(m_x), atol=1e-10)
+    assert_allclose(np.asarray(p_k), np.asarray(p_x), atol=1e-10)
+
+
+@pytest.mark.slow
+@isolated
+def test_uniform_pallas_smoother_batched_interpret(rng):
+    from markovflow_tpu.ops.adjoint import _materialize_uniform
+    from markovflow_tpu.ops.kalman import (filter_pipeline_tl,
+                                           smoother_pipeline_tl)
+    from markovflow_tpu.ops.pallas_scan import pallas_smoother_pipeline_uniform
+
+    n, batch = 40, (3,)
+    fc, cc, qc, mu0, p0, hc, nu, lam = _uniform_problem(rng, n=n, batch=batch)
+    F, c, Q, H = _materialize_uniform(fc, cc, qc, mu0, p0, hc, n)
+    lead = nu.shape[:-3]
+    F = jnp.broadcast_to(F, lead + F.shape[-3:])
+    c = jnp.broadcast_to(c, lead + c.shape[-3:])
+    Q = jnp.broadcast_to(Q, lead + Q.shape[-3:])
+    H = jnp.broadcast_to(H, lead + H.shape[-3:])
+    m_f, p_f, _ = jrun(filter_pipeline_tl, F, c, Q, H, nu, lam)
+    m_k, p_k = jrun(pallas_smoother_pipeline_uniform, fc, cc, qc, m_f, p_f,
+                    chunk=16, r_blk=4, interpret=True)
+    m_x, p_x, _ = jrun(smoother_pipeline_tl, F, c, Q, m_f, p_f)
+    assert_allclose(np.asarray(m_k), np.asarray(m_x), atol=1e-10)
+    assert_allclose(np.asarray(p_k), np.asarray(p_x), atol=1e-10)
+
+
 @pytest.mark.slow
 def test_gpr_uniform_flag_and_parity(rng):
     """GPR on a numpy uniform grid takes the fast path and matches the
