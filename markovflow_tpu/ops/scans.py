@@ -131,13 +131,31 @@ def _chunk_params(dtype):
     return CHUNK_THRESHOLD, CHUNK
 
 
+#: Escape hatch: MFTPU_SEQ_CHUNK_SCAN=1 restores the sequential outer
+#: lax.scan over chunks (the pre-round-5 behaviour) for A/B measurement.
+_SEQ_CHUNK_SCAN = _os.environ.get("MFTPU_SEQ_CHUNK_SCAN") == "1"
+
+
 def _chunked_scan_tl(combine, identity_like, elems, reverse: bool = False):
-    """Two-level prefix scan over the last axis of time-last-layout leaves.
+    """Blocked 3-phase prefix scan over the last axis of TL-layout leaves.
 
     ``combine`` must take the accumulated side as its FIRST argument (for
     reverse scans that is the suffix).  ``identity_like(elems)`` returns the
     identity element with leaves shaped like ``elems`` but with a trailing
     axis of 1.
+
+    Phases: (1) per-chunk local scans, vectorized over ALL chunks at once
+    (the chunk axis is a leading batch dim, so every combine op processes
+    num_chunks * chunk lanes); (2) one associative scan over the K chunk
+    totals; (3) one broadcast combine folding the exclusive chunk carries
+    into the local results.  Total combine depth is log2(chunk) +
+    log2(K) + 1 — the earlier design's sequential outer ``lax.scan`` over
+    chunks serialized K body executions (196 at T = 1e5 / CHUNK_F64 = 512),
+    which dominated the f64 natgrad runtime (704 of 1053 ms measured
+    on-chip in the naturals->SSM inversion alone) while keeping the VPU
+    nearly idle on [d, d, chunk]-sized ops.  Compile stays bounded: the
+    phase-1 body is one chunk-depth combine stack traced once, and the
+    phase-2 scan adds log2(K) small-array combines.
     """
     n = elems[0].shape[-1]
     _, chunk = _chunk_params(elems[0].dtype)
@@ -153,6 +171,68 @@ def _chunked_scan_tl(combine, identity_like, elems, reverse: bool = False):
                                axis=-1)
 
     padded = tuple(pad_leaf(x, i) for x, i in zip(elems, ident))
+    if _SEQ_CHUNK_SCAN:
+        return _chunked_scan_tl_seq(combine, identity_like, padded, reverse,
+                                    n, num_chunks, chunk, pad)
+
+    def split(x):
+        # [..., d1, d2, N] -> [..., K, d1, d2, C]: the chunk axis becomes a
+        # leading batch dim (combines broadcast over it), lanes stay minor
+        x = x.reshape(x.shape[:-1] + (num_chunks, chunk))
+        return jnp.moveaxis(x, -2, -4)
+
+    chunks = tuple(split(x) for x in padded)
+
+    # remat: without it the backward pass persists every inner-scan level
+    # (log2(chunk) * O(N) leaves); recomputing the local scans in the
+    # backward pass keeps persisted residuals at O(N).
+    @jax.checkpoint
+    def local_scan(ch):
+        return jax.lax.associative_scan(combine, ch, axis=ch[0].ndim - 1,
+                                        reverse=reverse)
+
+    local = local_scan(chunks)
+    if num_chunks > 1:
+        # phase 2: inclusive scan over the K chunk totals [..., K, d1, d2, 1]
+        totals = tuple(l[..., :1] if reverse else l[..., -1:] for l in local)
+        tot = jax.lax.associative_scan(combine, totals,
+                                       axis=totals[0].ndim - 4,
+                                       reverse=reverse)
+        # exclusive shift along K with the identity at the boundary.  The
+        # statically-false select gives the (vma-REPLICATED) identity the
+        # varying type of the data under shard_map — concatenating mixed
+        # types is rejected there; the select folds away everywhere else.
+        idb = tuple(jnp.where(jnp.zeros((), bool), t[..., :1, :, :, :],
+                              jnp.broadcast_to(i[..., None, :, :, :],
+                                               t[..., :1, :, :, :].shape))
+                    for i, t in zip(ident, tot))
+        if reverse:
+            carry = tuple(jnp.concatenate([t[..., 1:, :, :, :], ib], axis=-4)
+                          for t, ib in zip(tot, idb))
+        else:
+            carry = tuple(jnp.concatenate([ib, t[..., :-1, :, :, :]], axis=-4)
+                          for t, ib in zip(tot, idb))
+        # phase 3: fold the chunk carries into every local prefix at once
+        carry_b = tuple(jnp.broadcast_to(c, l.shape)
+                        for c, l in zip(carry, local))
+        outs = combine(carry_b, local)
+    else:
+        outs = local
+
+    def merge(x):
+        x = jnp.moveaxis(x, -4, -2)
+        x = x.reshape(x.shape[:-2] + (num_chunks * chunk,))
+        if pad == 0:
+            return x
+        return x[..., :n] if not reverse else x[..., pad:]
+
+    return tuple(merge(x) for x in outs)
+
+
+def _chunked_scan_tl_seq(combine, identity_like, padded, reverse, n,
+                         num_chunks, chunk, pad):
+    """Sequential outer lax.scan over chunks (pre-round-5 engine, kept
+    behind MFTPU_SEQ_CHUNK_SCAN=1 for A/B measurement)."""
 
     def split(x):
         x = x.reshape(x.shape[:-1] + (num_chunks, chunk))
@@ -160,14 +240,11 @@ def _chunked_scan_tl(combine, identity_like, elems, reverse: bool = False):
 
     chunks = tuple(split(x) for x in padded)
 
-    # remat: without it the backward pass stores every inner-scan level for
-    # every chunk (~17 GB at T = 1e6, d = 2 — exceeds one chip's HBM);
-    # recomputing the chunk-local scan in the backward pass keeps memory at
-    # O(one chunk) + carries.
     @jax.checkpoint
-    def body(carry, chunk):
+    def body(carry, chunk_elems):
         local = jax.lax.associative_scan(
-            combine, chunk, axis=chunk[0].ndim - 1, reverse=reverse)
+            combine, chunk_elems, axis=chunk_elems[0].ndim - 1,
+            reverse=reverse)
         carry_b = tuple(jnp.broadcast_to(c, l.shape)
                         for c, l in zip(carry, local))
         out = combine(carry_b, local)
