@@ -83,7 +83,10 @@ BOXES = {
     "parity": (900, 120),
     "sde": (120, 60),
     "d9": (900, 90),  # d=9 compiles (Mosaic AND XLA) exceed 600 s on-chip
-    "vgp": (600, 240),
+    # vgp: the f64 step compile after a scan-engine change runs ~780 s
+    # (measured for the blocked-scan first compile); once cached it
+    # completes in a fraction of this
+    "vgp": (1200, 240),
     # svgp nominal is large: the first f64 compile (M=2048 natgrad +
     # N=1e5 projection) exceeds 600 s on-chip; the driver's global
     # budget clamps it, and once the executable is in the persistent
