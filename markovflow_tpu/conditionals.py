@@ -25,6 +25,7 @@ __all__ = [
     "conditional_statistics",
     "base_conditional_predict",
     "conditional_predict",
+    "conditional_predict_tl",
     "cyclic_reduction_conditional_statistics",
 ]
 
@@ -142,6 +143,84 @@ def conditional_predict(new_time_points, existing_time_points, kernel, dist):
     adj_covs = jnp.take_along_axis(
         pair_covs, indices[..., None, None], axis=-3)
     return base_conditional_predict(p_proj, offset, t_cov, adj_means, adj_covs)
+
+
+def conditional_predict_tl(new_time_points, existing_time_points, kernel,
+                           dist):
+    """Time-last core of :func:`conditional_predict`: returns
+    (means_tl [..., d, 1, N*], covs_tl [..., d, d, N*]).
+
+    The standard-layout path materializes [N*, d, 2d] f64 intermediates
+    whose tiny minor dims tile-pad to (8, 128) on TPU and whose matmuls
+    are batched dot_generals — measured 279.8 ms for the FORWARD
+    projection alone at N*=1e5/f64 (benchmarks/decompose_svgp.py), which
+    dominated the SVGP natgrad step.  This core keeps every [d, *, N*]
+    intermediate in TL layout with unrolled lane ops (the same discipline
+    as ops/kalman.py); the per-point transition statistics are produced
+    standard and transposed immediately (the producers are elementwise
+    closed forms, so the transpose fuses).
+    """
+    from .ops.kalman import _inv_tl, _mm_tl, _sym_tl, _t_tl, _to_tl
+
+    padded = jnp.concatenate([
+        jnp.full_like(existing_time_points[..., :1], -APPROX_INF),
+        existing_time_points,
+        jnp.full_like(existing_time_points[..., :1], APPROX_INF),
+    ], axis=-1)
+    indices = jnp.searchsorted(existing_time_points, new_time_points,
+                               side="left")
+    t_minus = jnp.take_along_axis(
+        jnp.broadcast_to(padded, indices.shape[:-1] + padded.shape[-1:]),
+        indices, axis=-1)
+    t_plus = jnp.take_along_axis(
+        jnp.broadcast_to(padded, indices.shape[:-1] + padded.shape[-1:]),
+        indices + 1, axis=-1)
+    dt1 = jnp.clip(new_time_points - t_minus, 0.0, APPROX_INF)
+    dt2 = jnp.clip(t_plus - new_time_points, 0.0, APPROX_INF)
+    exact = dt2 <= 0.0
+    dt2_safe = jnp.where(exact, 1.0, dt2)
+    a1, q1 = kernel.transition_statistics(t_minus, dt1)
+    a2, q2 = kernel.transition_statistics(new_time_points, dt2_safe)
+    b1 = kernel.state_offsets(a1, dt1, transition_times=t_minus)
+    b2 = kernel.state_offsets(a2, dt2_safe, transition_times=new_time_points)
+    a1t, q1t = _to_tl(a1), _to_tl(q1)
+    a2t, q2t = _to_tl(a2), _to_tl(q2)
+    b1t, b2t = _to_tl(b1[..., None]), _to_tl(b2[..., None])
+
+    q1_inv = _inv_tl(_sym_tl(q1t))
+    q2_inv_a2 = _mm_tl(_inv_tl(_sym_tl(q2t)), a2t)
+    t_inv = q1_inv + _mm_tl(_t_tl(a2t), q2_inv_a2)
+    t_cov = _sym_tl(_inv_tl(_sym_tl(t_inv)))
+    tq1 = _mm_tl(t_cov, q1_inv)
+    d_proj = _mm_tl(tq1, a1t)                 # weight on x-
+    e_proj = _mm_tl(t_cov, _t_tl(q2_inv_a2))  # weight on x+
+    offset = _mm_tl(tq1, b1t) - _mm_tl(e_proj, b2t)
+
+    # exact hits (dt2 == 0): x* = x+ exactly
+    d = a1t.shape[-3]
+    ex_m = exact[..., None, None, :]
+    eye = jnp.eye(d, dtype=a1t.dtype)[..., None]
+    d_proj = jnp.where(ex_m, 0.0, d_proj)
+    e_proj = jnp.where(ex_m, eye, e_proj)
+    offset = jnp.where(ex_m, 0.0, offset)
+    t_cov = jnp.where(ex_m, 0.0, t_cov)
+
+    # adjacent pair moments, gathered along the (minor) time axis
+    mu = kernel.initial_mean(existing_time_points.shape[:-1])
+    p_inf = kernel.initial_covariance(existing_time_points[..., :1])
+    pair_means, pair_covs = pairwise_marginals(dist, mu, p_inf)
+    pm_tl = _to_tl(pair_means[..., None])     # [..., 2d, 1, M+1]
+    pc_tl = _to_tl(pair_covs)                 # [..., 2d, 2d, M+1]
+    gather = lambda x: jnp.take_along_axis(
+        x, jnp.broadcast_to(indices[..., None, None, :],
+                            x.shape[:-1] + indices.shape[-1:]), axis=-1)
+    adj_m = gather(pm_tl)                     # [..., 2d, 1, N*]
+    adj_c = gather(pc_tl)                     # [..., 2d, 2d, N*]
+
+    p_tl = jnp.concatenate([d_proj, e_proj], axis=-2)  # [..., d, 2d, N*]
+    means = _mm_tl(p_tl, adj_m) + offset
+    covs = t_cov + _mm_tl(p_tl, _mm_tl(adj_c, _t_tl(p_tl)))
+    return means, covs
 
 
 def cyclic_reduction_odd_even_statistics(time_points, kernel):
