@@ -137,3 +137,35 @@ def test_cyclic_reduction_factors_round_trip_dense(rng):
                 assert_allclose(
                     proj[t * d:(t + 1) * d, t * d:(t + 1) * d], e_t,
                     atol=1e-7)
+
+
+@pytest.mark.parametrize("make_kernel", [
+    lambda: Matern32(lengthscale=0.8, variance=1.3),
+    pytest.param(lambda: Matern12(lengthscale=0.6, variance=0.9),
+                 marks=pytest.mark.slow),
+    pytest.param(lambda: Matern52(lengthscale=1.1, variance=1.4),
+                 marks=pytest.mark.slow),
+], ids=["m32", "m12", "m52"])
+def test_conditional_predict_tl_matches_standard_path(rng, make_kernel):
+    """The time-last projection core (the SVGP/predict_f hot path) agrees
+    with the standard-layout path on interior points, exact grid hits, and
+    extrapolation beyond both ends (reference: posterior.py:207-229)."""
+    from markovflow_tpu.conditionals import conditional_predict_tl
+    from markovflow_tpu.ops.kalman import _from_tl
+
+    kernel = make_kernel()
+    existing = np.sort(rng.uniform(0, 4, 7))
+    t_new = np.sort(np.concatenate([
+        0.5 * (existing[:-1] + existing[1:])[:3],  # interior
+        existing[[1, 4]],                          # exact hits
+        np.array([-0.7, existing[-1] + 0.9]),      # extrapolation
+    ]))
+    ssm = kernel.state_space_model(jnp.asarray(existing))
+    means, covs = conditional_predict(
+        jnp.asarray(t_new), jnp.asarray(existing), kernel, ssm)
+    means_tl, covs_tl = conditional_predict_tl(
+        jnp.asarray(t_new), jnp.asarray(existing), kernel, ssm)
+    assert_allclose(np.asarray(_from_tl(means_tl))[..., 0],
+                    np.asarray(means), atol=1e-9, rtol=1e-8)
+    assert_allclose(np.asarray(_from_tl(covs_tl)), np.asarray(covs),
+                    atol=1e-9, rtol=1e-8)
